@@ -1,0 +1,236 @@
+"""Catalyst column-expression builders for all geometry math.
+
+Everything here compiles to JVM-side whole-stage-codegen expressions —
+no Python in the hot path. The formulas are written with the *same
+operation order* as the numpy kernels (overmatch_spark.kernels.geo) so
+engine output can be compared against the executable spec; e.g. we use
+``lon * pi / 180`` explicitly rather than F.radians (Java's
+``Math.toRadians`` computes ``deg / 180 * pi`` — a different rounding
+path).
+
+Reference semantics: EPSG:3857 projection + planar meters
+(/root/reference/scripts/match.py:116-121,222), buffer-square candidate
+bounds (:212), slippy tiles (/root/reference/scripts/build_pmtiles.py:
+186-198), boundary point-in-polygon
+(/root/reference/scripts/build_query.py:102-105).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+R_MERC = 6378137.0
+WORLD_M = 2.0 * math.pi * R_MERC
+ORIGIN_M = math.pi * R_MERC
+
+# SQL text twins (for DuckDB oracles) — kept adjacent to the Column
+# builders so the two can never drift apart silently.
+SQL_R = repr(R_MERC)
+SQL_ORIGIN = "(pi() * 6378137.0)"
+
+
+def merc_x(lon: Column) -> Column:
+    """x = R * (lon * pi / 180)."""
+    return F.lit(R_MERC) * (lon * F.lit(math.pi) / F.lit(180.0))
+
+
+def sql_merc_x(lon: str) -> str:
+    return f"({SQL_R} * (({lon}) * pi() / 180.0))"
+
+
+def merc_y(lat: Column) -> Column:
+    """y = R * ln(tan(pi/4 + (lat*pi/180)/2))."""
+    return F.lit(R_MERC) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + (lat * F.lit(math.pi) / F.lit(180.0)) / F.lit(2.0))
+    )
+
+
+def sql_merc_y(lat: str) -> str:
+    return (
+        f"({SQL_R} * ln(tan(pi()/4.0 + (({lat}) * pi() / 180.0) / 2.0)))"
+    )
+
+
+def inv_merc_lon(x: Column) -> Column:
+    return x / F.lit(R_MERC) * F.lit(180.0) / F.lit(math.pi)
+
+
+def sql_inv_merc_lon(x: str) -> str:
+    return f"(({x}) / {SQL_R} * 180.0 / pi())"
+
+
+def inv_merc_lat(y: Column) -> Column:
+    return (
+        (F.atan(F.exp(y / F.lit(R_MERC))) * F.lit(2.0) - F.lit(math.pi / 2.0))
+        * F.lit(180.0)
+        / F.lit(math.pi)
+    )
+
+
+def sql_inv_merc_lat(y: str) -> str:
+    return (
+        f"((atan(exp(({y}) / {SQL_R})) * 2.0 - pi()/2.0) * 180.0 / pi())"
+    )
+
+
+def planar_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Euclidean Web-Mercator meters (reference F18/J3)."""
+    return F.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+
+
+def sql_planar_distance(x1: str, y1: str, x2: str, y2: str) -> str:
+    return (
+        f"sqrt((({x1})-({x2}))*(({x1})-({x2})) + (({y1})-({y2}))*(({y1})-({y2})))"
+    )
+
+
+def round1(d: Column) -> Column:
+    """distance_m output rounding; see kernels.geo.round_half_even_1."""
+    return F.rint(d * F.lit(10.0)) / F.lit(10.0)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical Web-Mercator grid cells (join keys — SURVEY.md J1/J2)
+# ---------------------------------------------------------------------------
+
+def cell_edge_m(res: int) -> float:
+    return WORLD_M / float(1 << res)
+
+
+def cell_ix(x: Column, res: int) -> Column:
+    return F.floor((x + F.lit(ORIGIN_M)) / F.lit(cell_edge_m(res))).cast("long")
+
+
+def cell_iy(y: Column, res: int) -> Column:
+    return F.floor((F.lit(ORIGIN_M) - y) / F.lit(cell_edge_m(res))).cast("long")
+
+
+def cell_id(ix: Column, iy: Column) -> Column:
+    return F.shiftleft(ix, 30).cast("long") + iy
+
+
+def cell_of(x: Column, y: Column, res: int) -> Column:
+    return cell_id(cell_ix(x, res), cell_iy(y, res))
+
+
+def cover_cells(x: Column, y: Column, res: int, radius_m: float) -> Column:
+    """Array of cell ids covering the (x±r, y±r) buffer square —
+    the probe side of the candidate equi-join (J2). Any superset of
+    the true disk is correct; J3's exact distance filter reproduces
+    the reference decisions regardless of `res`."""
+    reach = int(math.ceil(radius_m / cell_edge_m(res)))
+    ix = cell_ix(x, res)
+    iy = cell_iy(y, res)
+    cells = [
+        cell_id(ix + F.lit(dx), iy + F.lit(dy))
+        for dx in range(-reach, reach + 1)
+        for dy in range(-reach, reach + 1)
+    ]
+    return F.array(*cells)
+
+
+# ---------------------------------------------------------------------------
+# Slippy tile math (F24)
+# ---------------------------------------------------------------------------
+
+def tile_x(lon: Column, z: int) -> Column:
+    n = float(1 << z)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), raw)).cast("int")
+
+
+def sql_tile_x(lon: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"CAST(greatest(0, least({n - 1}, CAST(floor((({lon}) + 180.0) / 360.0 "
+        f"* {float(n)!r}) AS BIGINT))) AS INTEGER)"
+    )
+
+
+def tile_y(lat: Column, z: int) -> Column:
+    n = float(1 << z)
+    rad = lat * F.lit(math.pi) / F.lit(180.0)
+    # asinh(tan(rad)) written as ln(tan + sec) so the DuckDB oracle
+    # (no asinh) evaluates the identical expression.
+    raw = F.floor(
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), raw)).cast("int")
+
+
+def sql_tile_y(lat: str, z: int) -> str:
+    n = 1 << z
+    rad = f"(({lat}) * pi() / 180.0)"
+    return (
+        f"CAST(greatest(0, least({n - 1}, CAST(floor((1.0 - ln(tan({rad}) "
+        f"+ 1.0/cos({rad})) / pi()) / 2.0 * {float(n)!r}) AS BIGINT))) AS INTEGER)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (P5) — even-odd ray cast, unrolled over a literal
+# polygon at plan time (horizontal edges contribute nothing and are
+# dropped, which also avoids division by zero).
+# ---------------------------------------------------------------------------
+
+def pip(px: Column, py: Column, poly_xy) -> Column:
+    pts = list(poly_xy)
+    n = len(pts)
+    crossings = []
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        cond = ((F.lit(y1) > py) != (F.lit(y2) > py)) & (
+            px
+            < (F.lit(x2 - x1) * (py - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1))
+        )
+        crossings.append(cond.cast("int"))
+    total = reduce(lambda a, b: a + b, crossings)
+    return (total % F.lit(2)) == F.lit(1)
+
+
+def sql_pip(px: str, py: str, poly_xy) -> str:
+    pts = list(poly_xy)
+    n = len(pts)
+    terms = []
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} > ({py})) != ({y2!r} > ({py}))) AND "
+            f"(({px}) < ({(x2 - x1)!r} * (({py}) - {y1!r}) / {(y2 - y1)!r} + {x1!r})) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+# ---------------------------------------------------------------------------
+# Match-quality score (F20 — reference
+# front_end/src/components/TagComparisonTable.tsx:49-56):
+#   100 * (0.6 * clamp((sim - 0.6)/0.4, 0, 1) + 0.4 * clamp(1 - d/100, 0, 1))
+# ---------------------------------------------------------------------------
+
+def match_quality(similarity: Column, distance_m: Column) -> Column:
+    sim_part = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), (similarity - F.lit(0.6)) / F.lit(0.4))
+    )
+    dist_part = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(1.0) - distance_m / F.lit(100.0))
+    )
+    return F.lit(100.0) * (F.lit(0.6) * sim_part + F.lit(0.4) * dist_part)
+
+
+def sql_match_quality(similarity: str, distance_m: str) -> str:
+    sim_part = f"greatest(0.0, least(1.0, (({similarity}) - 0.6) / 0.4))"
+    dist_part = f"greatest(0.0, least(1.0, 1.0 - ({distance_m}) / 100.0))"
+    return f"(100.0 * (0.6 * {sim_part} + 0.4 * {dist_part}))"

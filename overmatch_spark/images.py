@@ -1,0 +1,123 @@
+"""Image payload codec + per-row invariants (BASELINE.json input_hint).
+
+The input table carries image payloads as opaque ``binary``:
+  images(image_id string, bytes binary, w int, h int, fmt string,
+         caption string, phash int64)
+
+No image libraries exist in this sandbox (no Pillow), so the codec is
+a deterministic numpy one (FIXTURES.md §1):
+  - ``raw``     row-major h*w*3 uint8, exact.
+  - ``qlossy``  uniform quantization with step q=4 (values (p//4)*4+2,
+                max abs error 2 -> PSNR >= 20*log10(255/2) ~ 42.1 dB).
+
+A real JPEG/WebP decode would slot into decode_batch() unchanged — the
+Spark-side plumbing (binary column, Arrow batches via mapInPandas,
+payload kept out of shuffles) is the real, tested part.
+
+Per-row invariant at every sink (north rule): decoded pixels allclose
+vs the original (PSNR >= 40 dB for lossy) AND caption equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+QLOSSY_STEP = 4
+
+
+def fnv64(s: str) -> int:
+    """64-bit FNV-1a of a string -> signed int64 (the `phash`)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def gen_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixels for an id (seeded PCG64)."""
+    seed = fnv64(image_id) & 0xFFFFFFFFFFFFFFFF
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "qlossy":
+        q = QLOSSY_STEP
+        return ((pixels // q) * q + q // 2).astype(np.uint8).tobytes()
+    raise NotImplementedError(
+        f"fmt={fmt!r}: real image codecs (jpeg/webp) are stubbed in "
+        "this sandbox; only 'raw' and 'qlossy' are implemented"
+    )
+
+
+def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt in ("raw", "qlossy"):
+        return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    raise NotImplementedError(f"fmt={fmt!r} not decodable in sandbox")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio; inf when identical."""
+    err = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(err * err))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def check_invariants_pdf(pdf, expected_caption_fn=None):
+    """Pandas-batch invariant check used inside mapInPandas: for each
+    row, decode `bytes` and compare against the regenerated original
+    pixels; check caption. Returns a DataFrame(image_id, psnr_db,
+    pixels_ok, caption_ok)."""
+    import pandas as pd
+
+    out = {"image_id": [], "psnr_db": [], "pixels_ok": [], "caption_ok": []}
+    for row in pdf.itertuples(index=False):
+        orig = gen_pixels(row.image_id, row.w, row.h)
+        dec = decode(row.bytes, row.w, row.h, row.fmt)
+        p = psnr_db(orig, dec)
+        ok = bool(np.array_equal(orig, dec)) if row.fmt == "raw" else p >= 40.0
+        cap_ok = (
+            True
+            if expected_caption_fn is None
+            else row.caption == expected_caption_fn(row.image_id)
+        )
+        out["image_id"].append(row.image_id)
+        out["psnr_db"].append(float(min(p, 1e9)))
+        out["pixels_ok"].append(ok)
+        out["caption_ok"].append(bool(cap_ok))
+    return pd.DataFrame(out)
+
+
+def invariant_report(df, expected_caption_fn=None):
+    """Spark operator: images DataFrame -> per-row invariant report via
+    mapInPandas (Arrow-batched; the decode is the one place bytes are
+    materialized, and it happens scan-side with no shuffle)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("psnr_db", DoubleType()),
+            StructField("pixels_ok", BooleanType()),
+            StructField("caption_ok", BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield check_invariants_pdf(pdf, expected_caption_fn)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInPandas(
+        gen, schema
+    )

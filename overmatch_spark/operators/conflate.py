@@ -1,0 +1,179 @@
+"""The conflation spatial-similarity join (SURVEY.md §2.3, J1-J5).
+
+The reference executes one bbox-prefiltered range+similarity theta join
+as an index-nested-loop over rows (/root/reference/scripts/match.py:
+186-407). This module re-expresses it as a distributed DAG:
+
+  J1  cell-keyed partitioning replaces the in-memory R-tree
+  J2  candidate generation: probe side explodes the cell cover of its
+      buffer square; equi-join on cell id (+ optional skew salt)
+  J3  exact planar-distance refinement  (dist <= buffer, inclusive —
+      match.py:225)
+  J4  indel name-similarity             (sim >= threshold, inclusive —
+      match.py:244; empty candidate names skipped — match.py:239)
+  J5  housenumber anti-condition        (match.py:300-302)
+
+Physical notes (SURVEY.md §4.2):
+  - Geometry/distance/cells are Catalyst expressions (codegen); the
+    similarity kernel is the single Arrow UDF, applied only AFTER the
+    cheap distance filter prunes candidates — Catalyst will not
+    reorder around a Python UDF, so the stage order here is explicit
+    and deliberate.
+  - Only narrow columns enter the join. Any payload (image bytes)
+    must be re-attached by id afterwards — see attach_payload().
+  - Skew: dense urban cells get an explicit salt (salted_cell_join),
+    with AQE skew-join enabled as backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from overmatch_spark import expressions as X
+from overmatch_spark.udfs import indel_sim
+
+DEFAULT_RES = 18  # cell edge ~152.9 m >= 100 m buffer -> 3x3 cover
+DEFAULT_BUFFER_M = 100.0
+DEFAULT_SIM = 0.6
+
+
+def with_mercator(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                  x: str = "x", y: str = "y") -> DataFrame:
+    """EPSG:4326 -> EPSG:3857 (reference match.py:116-121), as pure
+    column expressions."""
+    return df.withColumn(x, X.merc_x(F.col(lon))).withColumn(
+        y, X.merc_y(F.col(lat))
+    )
+
+
+def detect_hot_cells(layer_b: DataFrame, res: int = DEFAULT_RES,
+                     threshold: int = 50_000) -> list[int]:
+    """Cells whose build-side row count would make a single join task
+    a straggler. Cheap pre-pass: groupBy(cell).count() is a partial
+    aggregate — shuffle carries one row per distinct cell."""
+    counts = (
+        layer_b.select(X.cell_of(F.col("x"), F.col("y"), res).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .filter(F.col("count") > threshold)
+        .select("cell")
+        .collect()
+    )
+    return [r["cell"] for r in counts]
+
+
+def conflate(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    buffer_m: float = DEFAULT_BUFFER_M,
+    sim_threshold: float = DEFAULT_SIM,
+    res: int = DEFAULT_RES,
+    hot_cells: list[int] | None = None,
+    salt_factor: int = 8,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Match rows per the reference's exact semantics.
+
+    layer_a columns: osm_id, name, housenumber (nullable), lon, lat
+    layer_b columns: id, name, housenumber (nullable), lon, lat
+
+    Returns: osm_id, overture_id, lon, lat (layer_b's ORIGINAL 4326
+    values — match.py:112-114,399-400), distance_m (planar 3857,
+    rounded 0.1 — match.py:401), similarity.
+
+    Output is invariant to `res`, `hot_cells`, `salt_factor`, and
+    `broadcast_b` (property-tested): they change the physical plan,
+    never the result.
+    """
+    # --- prepare sides (narrow projections only — payload stays out) ---
+    a = (
+        layer_a
+        # P6: null/empty-name rows produce no matches (match.py:203-207)
+        .filter(F.col("name").isNotNull() & (F.col("name") != ""))
+        .select(
+            "osm_id",
+            F.col("name").alias("a_name"),
+            F.col("housenumber").alias("a_housenumber"),
+            X.merc_x(F.col("lon")).alias("ax"),
+            X.merc_y(F.col("lat")).alias("ay"),
+        )
+    )
+    b = layer_b.select(
+        F.col("id").alias("overture_id"),
+        F.col("name").alias("b_name"),
+        F.col("housenumber").alias("b_housenumber"),
+        F.col("lon").alias("b_lon"),
+        F.col("lat").alias("b_lat"),
+        X.merc_x(F.col("lon")).alias("bx"),
+        X.merc_y(F.col("lat")).alias("by"),
+    ).withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res))
+
+    # --- J2: cell-cover explode on the probe side, equi-join on cell ---
+    a = a.withColumn(
+        "cell", F.explode(X.cover_cells(F.col("ax"), F.col("ay"), res, buffer_m))
+    )
+
+    hot_cells = hot_cells or []
+    if hot_cells and salt_factor > 1:
+        k = F.when(F.col("cell").isin(hot_cells), F.lit(salt_factor)).otherwise(
+            F.lit(1)
+        )
+        b = b.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("overture_id")), k).cast("int")
+        )
+        a = a.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), k.cast("int") - F.lit(1)))
+        )
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+
+    right = F.broadcast(b) if broadcast_b else b
+    cand = a.join(right, join_keys, "inner")
+
+    # --- J3: exact planar distance (inclusive <=, match.py:225) ---
+    dist = X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+    cand = cand.withColumn("dist", dist).filter(F.col("dist") <= F.lit(buffer_m))
+
+    # No pair-dedup is needed: a build row lives in exactly one cell
+    # and carries exactly one salt, while the probe side enumerates
+    # distinct (cell, salt) keys — each qualifying pair joins exactly
+    # once. (Property-tested: salt/res never change the output.)
+    cand = cand.drop("cell", *(["salt"] if "salt" in join_keys else []))
+
+    # --- J4: indel name similarity (inclusive >=, match.py:244);
+    #     empty candidate names never match (match.py:239) ---
+    cand = (
+        cand.filter(F.col("b_name").isNotNull() & (F.col("b_name") != ""))
+        .withColumn("similarity", indel_sim(F.col("a_name"), F.col("b_name")))
+        .filter(F.col("similarity") >= F.lit(sim_threshold))
+    )
+
+    # --- J5: housenumber anti-condition (match.py:300-302): reject
+    #     only when BOTH sides carry a housenumber and they differ ---
+    cand = cand.filter(
+        F.col("a_housenumber").isNull()
+        | F.col("b_housenumber").isNull()
+        | (F.col("a_housenumber") == F.col("b_housenumber"))
+    )
+
+    return cand.select(
+        "osm_id",
+        "overture_id",
+        F.col("b_lon").alias("lon"),
+        F.col("b_lat").alias("lat"),
+        X.round1(F.col("dist")).alias("distance_m"),
+        "similarity",
+    )
+
+
+def attach_payload(matches: DataFrame, payload: DataFrame, key: str,
+                   payload_key: str) -> DataFrame:
+    """Re-attach wide/heavy columns (image bytes, full tag structs) by
+    id AFTER the shuffle-heavy join — the single most important
+    physical decision at 10^12-image scale (SURVEY.md §4.2): payload
+    bytes never enter a shuffle on the match path."""
+    return matches.join(
+        payload, matches[key] == payload[payload_key], "left"
+    ).drop(payload_key)
