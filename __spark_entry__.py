@@ -99,6 +99,273 @@ def q_tile_counts_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: point-in-polygon boundary filter (ray cast, rectilinear
+    demo polygon)."""
+    from overmatch_spark import demo
+    from overmatch_spark import expressions as X
+
+    a = demo.spark_layer_a(spark, sf_dir)
+    x = X.merc_x(F.col("lon"))
+    y = X.merc_y(F.col("lat"))
+    return a.filter(X.pip(x, y, demo.PIP_POLY)).select("osm_id")
+
+
+def q_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: frontend match-quality score as a column expression."""
+    from overmatch_spark.operators.enrich import with_quality
+
+    m = _matches_df(spark, sf_dir)
+    return with_quality(m).select(
+        "osm_id", "overture_id", F.round(F.col("quality"), 6).alias("quality")
+    )
+
+
+def q_tag_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8: website clean/normalize, phone normalize + toll-free
+    drop, address parse — over synthesized per-key inputs."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators import tags
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    website = (
+        F.when(key % 5 == 0,
+               F.concat(F.lit("HTTPS://WWW.Example"), key.cast("string"),
+                        F.lit(".COM/Menu?utm_source=fb&page="),
+                        (key % 7).cast("string")))
+        .when(key % 5 == 1,
+              F.concat(F.lit("http://Foo"), key.cast("string"),
+                       F.lit(".com/Home?ref=abc&id=9&x=1")))
+        .when(key % 5 == 2,
+              F.concat(F.lit("https://www.doordash.com/store/"),
+                       key.cast("string")))
+        .when(key % 5 == 3,
+              F.concat(F.lit("https://Bar"), (key % 100).cast("string"),
+                       F.lit(".COM/a/B?hsa_cam=2&_ga=1")))
+        .otherwise(F.lit(None))
+    )
+    phone = (
+        F.when(key % 4 == 0,
+               F.concat(F.lit("(202) 555-"), (key % 9000 + 1000).cast("string")))
+        .when(key % 4 == 1,
+              F.concat(F.lit("+1-800-555-"), (key % 9000 + 1000).cast("string")))
+        .when(key % 4 == 2,
+              F.concat(F.lit("202.555."), (key % 9000 + 1000).cast("string")))
+        .otherwise(F.lit(None))
+    )
+    addr = (
+        F.when(key % 3 == 0,
+               F.concat((key % 900 + 100).cast("string"),
+                        F.lit(" Main Street Northwest")))
+        .when(key % 3 == 1,
+              F.concat((key % 99 + 1).cast("string"), F.lit(" Oak Avenue")))
+        .otherwise(F.lit(None))
+    )
+    return c.select(
+        key.alias("id"),
+        tags.clean_website(website).alias("website_clean"),
+        tags.drop_toll_free(tags.normalize_phone(phone)).alias("phone_norm"),
+        tags.parse_housenumber(addr).alias("housenumber"),
+        tags.parse_street(addr).alias("street"),
+    )
+
+
+def _seen_tables(spark: SparkSession, sf_dir: str):
+    from overmatch_spark import demo
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    osm_seen = c.filter(key % 3 == 0).select(
+        F.concat(F.lit("node/"), key.cast("string")).alias("element_id"),
+        ((key * 11) % 3000).cast("long").alias("first_seen"),
+        ((key * 11) % 3000 + key % 100).cast("long").alias("last_seen"),
+    )
+    ov_seen = c.filter(key % 5 < 2).select(
+        F.concat(F.lit("ov/"), key.cast("string")).alias("element_id"),
+        ((key * 17) % 3000).cast("long").alias("first_seen"),
+        ((key * 17) % 3000 + key % 90).cast("long").alias("last_seen"),
+    )
+    return osm_seen, ov_seen
+
+
+def q_enrich_marked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 + A3: seen-state enrichment left joins + conditional
+    counters."""
+    from overmatch_spark.operators.enrich import enrich_with_seen, marked_counts
+
+    m = _matches_df(spark, sf_dir)
+    osm_seen, ov_seen = _seen_tables(spark, sf_dir)
+    return marked_counts(enrich_with_seen(m, osm_seen, ov_seen))
+
+
+def q_seen_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/D2: first_seen-immutable / last_seen-refreshed MERGE
+    semantics (epoch-day integers for cross-engine hashing)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.seen import upsert_seen
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    seen, _ = _seen_tables(spark, sf_dir)
+    batch = c.filter(key % 2 == 0).select(
+        F.concat(F.lit("node/"), key.cast("string")).alias("element_id"),
+        ((key * 13) % 3000 + 500).cast("long").alias("seen_at"),
+    )
+    return upsert_seen(seen, batch)
+
+
+def q_tile_density_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 + F24 + A6: stable match ids -> z14 tiles -> deterministic
+    per-tile top-k density drop."""
+    from overmatch_spark.operators.tiles import (
+        assign_match_ids,
+        assign_tiles,
+        density_drop,
+    )
+
+    m = assign_match_ids(_matches_df(spark, sf_dir))
+    t = assign_tiles(m, zooms=(14,))
+    return density_drop(t, max_per_tile=3).select("match_id", "z", "x", "y", "kept")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash-groupBy) over a corpus with injected
+    full duplicates."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import exact_dedup
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = d.unionByName(dup)
+    return exact_dedup(corpus, "text", "doc_id").select("doc_id", "content_hash")
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle -> banded minhash ->
+    bucket join -> exact-Jaccard verify) over a corpus with injected
+    truncated near-duplicates."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import minhash_lsh_pairs
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    )
+    corpus = d.unionByName(trunc)
+    return minhash_lsh_pairs(
+        corpus, "text", "doc_id", bands=8, rows_per_band=2,
+        jaccard_threshold=0.5,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + keep-lowest-id per signature bucket."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import simhash_dedup
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_dedup(d, "text", "doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity for adjacent doc pairs."""
+    from overmatch_spark import demo
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def grams(text):
+        n = F.length(text)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+                lambda i: text.substr(i, F.lit(3)),
+            )
+        )
+
+    left = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"), grams(F.col("text")).alias("ga")
+    )
+    right = d.select((F.col("doc_id") - 1).alias("id_a"),
+                     F.col("doc_id").alias("id_b"),
+                     grams(F.col("text")).alias("gb"))
+    j = left.join(right, "id_a")
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+    union = (F.size(F.col("ga")) + F.size(F.col("gb"))).cast("double") - inter
+    return j.select(
+        "id_a", "id_b", F.round(inter / union, 9).alias("jaccard3")
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH buckets + exact cosine
+    verify."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import embedding_near_dups
+
+    e = demo.load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        e, "embedding", "vec_id", num_planes=8, dim=64, cosine_threshold=0.2
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for probe vectors (vec_id < 5)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.ann import brute_force_topk
+
+    e = demo.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return brute_force_topk(e, probes, "embedding", "vec_id", k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (the scale path)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.ann import lsh_topk
+
+    e = demo.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e, probes, "embedding", "vec_id", k=5, num_planes=6, dim=64)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID, quality score, token counts, fingerprint."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators import text_analysis as ta
+
+    d = demo.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ta.token_count(t).alias("n_tokens"),
+        ta.bpe_ish_token_estimate(t).alias("n_tokens_bpe"),
+        ta.lang_id(t).alias("pred_lang"),
+        ta.quality_score(t).alias("quality"),
+        ta.fingerprint(t).alias("fp"),
+    )
+
+
+def q_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate text metrics per predicted language."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators import text_analysis as ta
+
+    d = demo.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(ta.lang_id(t).alias("pred_lang"),
+                 ta.quality_score(t).alias("q"))
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conflate_matches": q_conflate_matches,
@@ -106,6 +373,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_matches": q_grouped_matches,
         "knn_fallback": q_knn_fallback,
         "tile_counts_z12": q_tile_counts_z12,
+        "pip_filter": q_pip_filter,
+        "match_quality": q_match_quality,
+        "tag_transform": q_tag_transform,
+        "enrich_marked_counts": q_enrich_marked_counts,
+        "seen_upsert": q_seen_upsert,
+        "tile_density_drop": q_tile_density_drop,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_stats": q_text_stats,
+        "lang_quality_summary": q_lang_quality_summary,
     }
 
 
@@ -174,4 +456,307 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM matches GROUP BY 1, 2
         """,
+        **_oracle_sql_extended(),
+    }
+
+
+def _oracle_sql_extended() -> dict[str, str]:
+    from overmatch_spark import demo
+    from overmatch_spark import expressions as X
+    from overmatch_spark.operators import dedup as dd
+    from overmatch_spark.operators import tags
+    from overmatch_spark.operators import text_analysis as ta
+
+    layers = demo.sql_layers_cte()
+    matches_cte = f"{layers},{demo.SQL_MATCHES}"
+
+    # --- pip_filter ---
+    px = X.sql_merc_x("lon")
+    py = X.sql_merc_y("lat")
+    pip_sql = f"""
+        {layers}
+        SELECT osm_id FROM layer_a
+        WHERE {X.sql_pip(px, py, demo.PIP_POLY)}
+    """
+
+    # --- match_quality ---
+    mq = X.sql_match_quality("similarity", "distance_m")
+    quality_sql = f"""
+        {matches_cte}
+        SELECT osm_id, overture_id, round({mq}, 6) AS quality FROM matches
+    """
+
+    # --- tag_transform (inputs synthesized identically to the Spark side) ---
+    website = (
+        "CASE WHEN key % 5 = 0 THEN concat('HTTPS://WWW.Example', CAST(key AS VARCHAR), "
+        "'.COM/Menu?utm_source=fb&page=', CAST(key % 7 AS VARCHAR)) "
+        "WHEN key % 5 = 1 THEN concat('http://Foo', CAST(key AS VARCHAR), "
+        "'.com/Home?ref=abc&id=9&x=1') "
+        "WHEN key % 5 = 2 THEN concat('https://www.doordash.com/store/', CAST(key AS VARCHAR)) "
+        "WHEN key % 5 = 3 THEN concat('https://Bar', CAST(key % 100 AS VARCHAR), "
+        "'.COM/a/B?hsa_cam=2&_ga=1') END"
+    )
+    phone = (
+        "CASE WHEN key % 4 = 0 THEN concat('(202) 555-', CAST(key % 9000 + 1000 AS VARCHAR)) "
+        "WHEN key % 4 = 1 THEN concat('+1-800-555-', CAST(key % 9000 + 1000 AS VARCHAR)) "
+        "WHEN key % 4 = 2 THEN concat('202.555.', CAST(key % 9000 + 1000 AS VARCHAR)) END"
+    )
+    addr = (
+        "CASE WHEN key % 3 = 0 THEN concat(CAST(key % 900 + 100 AS VARCHAR), ' Main Street Northwest') "
+        "WHEN key % 3 = 1 THEN concat(CAST(key % 99 + 1 AS VARCHAR), ' Oak Avenue') END"
+    )
+    tag_sql = f"""
+        WITH syn AS (
+          SELECT c_custkey AS key, {website} AS website, {phone} AS phone,
+                 {addr} AS addr
+          FROM customer
+        )
+        SELECT key AS id,
+               {tags.sql_clean_website('website')} AS website_clean,
+               {tags.sql_drop_toll_free(tags.sql_normalize_phone('phone'))} AS phone_norm,
+               {tags.sql_parse_housenumber('addr')} AS housenumber,
+               {tags.sql_parse_street('addr')} AS street
+        FROM syn
+    """
+
+    # --- seen tables (shared) ---
+    seen_cte = """
+        osm_seen AS (
+          SELECT concat('node/', CAST(c_custkey AS VARCHAR)) AS element_id,
+                 CAST((c_custkey * 11) % 3000 AS BIGINT) AS first_seen,
+                 CAST((c_custkey * 11) % 3000 + c_custkey % 100 AS BIGINT) AS last_seen
+          FROM customer WHERE c_custkey % 3 = 0
+        ),
+        ov_seen AS (
+          SELECT concat('ov/', CAST(c_custkey AS VARCHAR)) AS element_id,
+                 CAST((c_custkey * 17) % 3000 AS BIGINT) AS first_seen,
+                 CAST((c_custkey * 17) % 3000 + c_custkey % 90 AS BIGINT) AS last_seen
+          FROM customer WHERE c_custkey % 5 < 2
+        )
+    """
+    enrich_sql = f"""
+        {matches_cte},
+        {seen_cte}
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN o.element_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS osm_marked_count,
+               CAST(sum(CASE WHEN v.element_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overture_marked_count,
+               CAST(sum(CASE WHEN o.element_id IS NOT NULL AND v.element_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_marked_count
+        FROM matches m
+        LEFT JOIN osm_seen o ON m.osm_id = o.element_id
+        LEFT JOIN ov_seen v ON m.overture_id = v.element_id
+    """
+    upsert_sql = f"""
+        WITH {seen_cte.strip()},
+        batch AS (
+          SELECT concat('node/', CAST(c_custkey AS VARCHAR)) AS element_id,
+                 CAST((c_custkey * 13) % 3000 + 500 AS BIGINT) AS seen_at
+          FROM customer WHERE c_custkey % 2 = 0
+        ),
+        unioned AS (
+          SELECT element_id, first_seen, last_seen FROM osm_seen
+          UNION ALL
+          SELECT element_id, seen_at, seen_at FROM batch
+        )
+        SELECT element_id, min(first_seen) AS first_seen,
+               max(last_seen) AS last_seen
+        FROM unioned GROUP BY element_id
+    """
+
+    # --- tile density drop ---
+    drop_rank = dd.sql_h60("CAST(match_id AS VARCHAR)")
+    tile_drop_sql = f"""
+        {matches_cte},
+        ids AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY osm_id, overture_id) AS BIGINT)
+                 AS match_id
+          FROM matches
+        ),
+        tiled AS (
+          SELECT match_id, 14 AS z,
+                 {X.sql_tile_x('lon', 14)} AS x,
+                 {X.sql_tile_y('lat', 14)} AS y
+          FROM ids
+        )
+        SELECT match_id, z, x, y,
+               (row_number() OVER (
+                  PARTITION BY z, x, y ORDER BY {drop_rank}, match_id
+                ) <= 3) AS kept
+        FROM tiled
+    """
+
+    # --- dedup family ---
+    exact_sql = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, md5(text) AS content_hash,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM corpus
+        )
+        SELECT doc_id, content_hash FROM ranked WHERE rn = 1
+    """
+
+    sh = dd.sql_shingles("text", 3)
+    sig_items = ", ".join(dd.sql_minhash_sig_item("sh", j) for j in range(16))
+    minhash_sql = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                   len(string_split(text, ' ')) - 2), ' ')
+          FROM documents
+        ),
+        shing AS (SELECT doc_id, {sh} AS sh FROM corpus),
+        sig AS (SELECT doc_id, sh, [{sig_items}] AS sig FROM shing),
+        banded AS (
+          SELECT doc_id, sh, band,
+                 concat(CAST(sig[band * 2 + 1] AS VARCHAR), ',',
+                        CAST(sig[band * 2 + 2] AS VARCHAR)) AS key
+          FROM sig, (SELECT unnest(range(8)) AS band)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 round(
+                   CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+                      - CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)),
+                 9) AS jaccard
+          FROM cand JOIN shing a ON a.doc_id = id_a JOIN shing b ON b.doc_id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+    simhash_sql = f"""
+        WITH shing AS (SELECT doc_id, {sh} AS sh FROM documents),
+        toks AS (SELECT doc_id, {dd.sql_token_hashes('sh')} AS th FROM shing),
+        sigs AS (SELECT doc_id, {dd.sql_simhash_from_hashes('th')} AS simhash FROM toks),
+        ranked AS (
+          SELECT doc_id, simhash,
+                 row_number() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn
+          FROM sigs
+        )
+        SELECT doc_id, simhash FROM ranked WHERE rn = 1
+    """
+
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)), "
+        "i -> substr(text, i, 3)))"
+    )
+    ngram_sql = f"""
+        WITH g AS (SELECT doc_id, {grams} AS gr FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gr AS ga, b.gr AS gb
+          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 2 = 0
+        )
+        SELECT id_a, id_b,
+               round(
+                 CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE)
+                 / (CAST(len(ga) + len(gb) AS DOUBLE)
+                    - CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS DOUBLE)),
+               9) AS jaccard3
+        FROM pairs
+    """
+
+    planes8 = dd.hyperplanes(8, 64)
+    bucket8 = dd.sql_embedding_bucket("v", planes8)
+    cosab = dd.sql_cosine("a.v", "b.v")
+    embdup_sql = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bk AS (SELECT vec_id, v, {bucket8} AS bucket FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cosab}, 9) AS cos_sim
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({cosab}, 9) >= 0.2
+    """
+
+    cospc = dd.sql_cosine("p.v", "c.v")
+    ann_brute_sql = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 round({cospc}, 9) AS cos_sim
+          FROM e p, e c
+          WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    planes6 = dd.hyperplanes(6, 64)
+    bucket6 = dd.sql_embedding_bucket("v", planes6)
+    ann_lsh_sql = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bk AS (SELECT vec_id, v, {bucket6} AS bucket FROM e),
+        scored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 round({cospc.replace('p.v', 'p.v').replace('c.v', 'c.v')}, 9) AS cos_sim
+          FROM bk p JOIN bk c ON p.bucket = c.bucket AND c.vec_id != p.vec_id
+          WHERE p.vec_id < 5
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    text_stats_sql = f"""
+        SELECT doc_id,
+               {ta.sql_token_count('text')} AS n_tokens,
+               {ta.sql_bpe_ish_token_estimate('text')} AS n_tokens_bpe,
+               {ta.sql_lang_id('text')} AS pred_lang,
+               {ta.sql_quality_score('text')} AS quality,
+               {ta.sql_fingerprint('text')} AS fp
+        FROM documents
+    """
+    lang_summary_sql = f"""
+        WITH t AS (
+          SELECT {ta.sql_lang_id('text')} AS pred_lang,
+                 {ta.sql_quality_score('text')} AS q
+          FROM documents
+        )
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n,
+               round(avg(q), 6) AS avg_quality
+        FROM t GROUP BY pred_lang
+    """
+
+    return {
+        "pip_filter": pip_sql,
+        "match_quality": quality_sql,
+        "tag_transform": tag_sql,
+        "enrich_marked_counts": enrich_sql,
+        "seen_upsert": upsert_sql,
+        "tile_density_drop": tile_drop_sql,
+        "exact_dedup": exact_sql,
+        "minhash_pairs": minhash_sql,
+        "simhash": simhash_sql,
+        "ngram_jaccard": ngram_sql,
+        "embedding_near_dups": embdup_sql,
+        "ann_brute_topk": ann_brute_sql,
+        "ann_lsh_topk": ann_lsh_sql,
+        "text_stats": text_stats_sql,
+        "lang_quality_summary": lang_summary_sql,
     }

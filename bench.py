@@ -1,0 +1,136 @@
+"""Per-round benchmark (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline workload: the conflation engine over layers derived from the
+`lineitem` table (600k features at sf0.1 — the largest table), so the
+numbers measure the real cell-join + Arrow-kernel path. A warm-up
+pass runs first (Python-worker pool spin-up and parquet footer reads
+are one-time cluster costs, not workload costs — measured ~18 s for
+32 workers in this sandbox). Results are materialized through Spark's
+noop sink (full execution, no collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+BENCH_TABLE = ("lineitem", None)  # key derived below
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_layers(spark, sf_dir, cpus):
+    """Conflation layers derived from lineitem (unique key =
+    l_orderkey*8 + l_linenumber), repartitioned because the driver's
+    parquet is a single split."""
+    from overmatch_spark import demo
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k")
+    ).repartition(2 * cpus)
+    li.createOrReplaceTempView("bench_keys")
+    a = demo.spark_layer_a(spark, sf_dir, None, "k", df=li)
+    b = demo.spark_layer_b(spark, sf_dir, None, "k", df=li)
+    return a, b
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from overmatch_spark import expressions as X
+    from overmatch_spark.operators.conflate import conflate
+    from overmatch_spark.operators.knn import knn_fallback
+    from overmatch_spark.session import get_spark
+    from overmatch_spark.udfs import indel_sim
+
+    # advisory shuffle size lowered so AQE keeps parallelism on this
+    # (deliberately small) benchmark input; at production scale the
+    # default 64m advisory is correct and this override is dropped
+    spark = get_spark(
+        "overmatch-bench",
+        cpus=cpus,
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    a, b = bench_layers(spark, sf_dir, cpus)
+
+    # ---- warm-up: spin up the Python worker pool on every core ----
+    warm = (
+        spark.range(0, 20_000 * cpus, 1, 2 * cpus)
+        .withColumn("s", F.col("id").cast("string"))
+        .withColumn("w", indel_sim(F.col("s"), F.col("s")))
+    )
+    run_noop(warm)
+    n_features = a.count()
+
+    times = {}
+
+    t0 = time.time()
+    matches = conflate(a, b)
+    run_noop(matches)
+    times["conflate"] = round(time.time() - t0, 3)
+
+    # downstream queries reuse a cached match table, as a real
+    # pipeline would (compute once, fan out)
+    m = conflate(a, b).persist()
+    m.count()
+
+    t0 = time.time()
+    run_noop(
+        m.groupBy("osm_id").agg(
+            F.count("*").alias("match_count"), F.min("distance_m").alias("min_dist")
+        )
+    )
+    times["grouped"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    run_noop(
+        m.select(
+            X.tile_x(F.col("lon"), 14).alias("tx"),
+            X.tile_y(F.col("lat"), 14).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+    times["tiles"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    run_noop(knn_fallback(a, b, m))
+    times["knn"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "conflation e2e wall-time (headline: J1-J5 over "
+                f"{n_features} features) + grouped/tiles/knn downstream",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "features": n_features,
+                "throughput_features_per_sec": round(
+                    n_features / times["conflate"], 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,21 @@ GRID_COLS = 600
 SPACING = 300
 FAR_Y = Y0 - 50_000
 
+# Rectilinear non-convex demo polygon (P5). All edges are axis-
+# parallel at half-meter offsets: grid coordinates are integers, so
+# every point sits >= 0.5 m from every edge — the ray-cast decision is
+# immune to the ~1e-9 m Mercator-roundtrip noise, and horizontal edges
+# drop out of the crossing test entirely. An "L" covering columns
+# 100..400 for all rows plus columns 200..400 only for rows 0-1.
+PIP_POLY = [
+    (X0 + 30000.5, Y0 - 1e6),
+    (X0 + 120000.5, Y0 - 1e6),
+    (X0 + 120000.5, Y0 + 400.5),
+    (X0 + 60000.5, Y0 + 400.5),
+    (X0 + 60000.5, Y0 + 1e7),
+    (X0 + 30000.5, Y0 + 1e7),
+]
+
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -84,9 +99,13 @@ def _grid_xy(key):
     return x, y
 
 
-def spark_layer_a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    key = F.col("c_custkey")
+def spark_layer_a(
+    spark: SparkSession, sf_dir: str,
+    table: str = "customer", key_col: str = "c_custkey",
+    df: DataFrame | None = None,
+) -> DataFrame:
+    c = df if df is not None else load(spark, sf_dir, table)
+    key = F.col(key_col)
     x, y = _grid_xy(key)
     hn = ((key * 7919) % 9000 + 1000).cast("string")
     return c.select(
@@ -98,11 +117,15 @@ def spark_layer_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def spark_layer_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+def spark_layer_b(
+    spark: SparkSession, sf_dir: str,
+    table: str = "customer", key_col: str = "c_custkey",
+    df: DataFrame | None = None,
+) -> DataFrame:
     import math
 
-    c = load(spark, sf_dir, "customer")
-    key = F.col("c_custkey")
+    c = df if df is not None else load(spark, sf_dir, table)
+    key = F.col(key_col)
     xa, ya = _grid_xy(key)
     m = key % 10
     d = (

@@ -1,0 +1,85 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k (exact; one broadcast of the probe
+set, no shuffle of the corpus). Scale path: hyperplane-LSH bucketing
+(operators.dedup.embedding_bucket) so the corpus self-join only
+touches same-bucket candidates; at 10^12 scale the bucket column
+becomes the table's partition key and probes prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from overmatch_spark.operators.dedup import cosine, embedding_bucket, hyperplanes
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each probe. Probes are broadcast; the
+    corpus is scanned once, no shuffle until the final per-probe
+    top-k (a partial top-k would use F.max_by at scale)."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH
+    bucket. Recall < 1 by design; the bucket fan-out (probing
+    neighboring buckets by flipping low-margin bits) is the standard
+    extension and slots in at the `bucket` join."""
+    planes = hyperplanes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", embedding_bucket(F.col("cv"), planes))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    ).withColumn("bucket", embedding_bucket(F.col("pv"), planes))
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rank")
+    )

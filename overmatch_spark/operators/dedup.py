@@ -1,0 +1,335 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own operator set (its dedup surface is only
+the anti-join resume, D1/J9), a 10^12-row corpus engine needs
+content dedup. All variants below are DataFrame combinators whose
+hashes are engine-portable (md5-derived 60-bit ints), so every one of
+them has an exact DuckDB oracle.
+
+Scale notes:
+  - exact_dedup: one shuffle on the content hash.
+  - minhash_lsh: the classic shingle -> minhash -> band -> bucket
+    self-join. Candidate generation is |bands| shuffles of (band_key);
+    verification (exact Jaccard) touches only bucket-colliding pairs.
+  - simhash: one 60-bit signature per doc, bucket by signature
+    (optionally by rotated prefixes for hamming<=k).
+  - embedding LSH: random-hyperplane sign buckets (hyperplanes are
+    Python-side md5-derived constants — identical plan constants on
+    any engine), cosine verification inside buckets only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Portable hashing: 60-bit int from md5 (identical in Spark & DuckDB)
+# ---------------------------------------------------------------------------
+
+def h60(col: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_h60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content; one shuffle on the
+    content hash (the hash, not the text, is the shuffle key — at
+    corpus scale the payload stays put until the winner is known)."""
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word shingles
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles; docs shorter than k words contribute
+    the whole text as one shingle."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return F.array_distinct(F.when(n >= k, kgrams).otherwise(F.array(text)))
+
+
+def sql_shingles(text: str, k: int = 3) -> str:
+    words = f"string_split({text}, ' ')"
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {k} THEN "
+        f"list_transform(range(1, len({words}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({words}, i, i + {k - 1}), ' ')) "
+        f"ELSE [{text}] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """Array of num_hashes minhash values over a shingle array."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda t, j=j: h60(F.concat(F.lit(f"{j}:"), t)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def sql_minhash_sig_item(sh: str, j: int) -> str:
+    inner = sql_h60(f"'{j}:' || t")
+    return f"list_min(list_transform({sh}, t -> {inner}))"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash, verified with
+    exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
+    id_a < id_b."""
+    num_hashes = bands * rows_per_band
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 9))
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit to stay in signed int64)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(sh: Column) -> Column:
+    """60-bit simhash over a token array: bit k = sign of the sum of
+    (+1/-1) votes from each token's hash bit k."""
+    tok_h = F.transform(sh, lambda t: h60(t))
+
+    def bit_term(k: int) -> Column:
+        mask = F.lit(1 << k).cast("long")
+        vote = F.aggregate(
+            tok_h,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return (vote > 0).cast("long") * mask
+
+    bits = [bit_term(k) for k in range(SIMHASH_BITS)]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sql_token_hashes(sh: str) -> str:
+    """list of h60 token hashes — materialize in a CTE, then feed to
+    sql_simhash_from_hashes so the 60 bit-vote terms share it."""
+    return f"list_transform({sh}, t -> {sql_h60('t')})"
+
+
+def sql_simhash_from_hashes(th: str) -> str:
+    terms = []
+    for k in range(SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_transform({th}, h -> (h >> {k}) % 2 * 2 - 1), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(
+            f"(CASE WHEN ({vote}) > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_simhash(sh: str) -> str:
+    return sql_simhash_from_hashes(sql_token_hashes(sh))
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  shingle_k: int = 3) -> DataFrame:
+    """Group docs by identical simhash; keep lowest id per bucket."""
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(shingles(F.col(text_col), shingle_k)).alias("simhash"),
+    )
+    w = Window.partitionBy("simhash").orderBy(F.col("doc_id").asc())
+    return sig.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH (random-hyperplane signs) + cosine verification
+# ---------------------------------------------------------------------------
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 — computed
+    driver-side in plain Python, so they are literal plan constants on
+    ANY engine."""
+    out = []
+    for j in range(num_planes):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(digest[:2], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact-fold cosine similarity of two array<double> columns (the
+    fold order matches DuckDB's list_reduce, so oracles agree to the
+    last ulp)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0),
+                            lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0),
+                            lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def sql_cosine(a: str, b: str) -> str:
+    def dot(u, v):
+        return (
+            f"list_reduce(list_transform(range(1, len({u}) + 1), "
+            f"i -> {u}[i] * {v}[i]), (s, x) -> s + x)"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def embedding_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id = sign bits of the hyperplane dot products."""
+    terms = []
+    for j, hp in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in hp]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        terms.append((dot > 0).cast("long") * F.lit(1 << j).cast("long"))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def sql_embedding_bucket(vec: str, planes: list[list[int]]) -> str:
+    terms = []
+    for j, hp in enumerate(planes):
+        consts = "[" + ", ".join(f"{float(c)!r}" for c in hp) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i] * ({consts})[i]), (s, x) -> s + x)"
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine, candidates bucketed by
+    hyperplane LSH (the scale path: the self-join only touches
+    same-bucket pairs)."""
+    planes = hyperplanes(num_planes, dim)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", embedding_bucket(F.col("v"), planes))
+    left = base.select(
+        F.col("bucket"), F.col("vid").alias("id_a"), F.col("v").alias("va")
+    )
+    right = base.select(
+        F.col("bucket"), F.col("vid").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cos_sim") >= F.lit(cosine_threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -2,32 +2,59 @@
 
 The reference silently drops OSM rows with zero matches
 (/root/reference/scripts/match.py:217,229); the north rule adds a
-nearest-neighbor fallback for them. Distributed algorithm:
+nearest-neighbor fallback for them. Two-phase exact algorithm:
 
-  coarse-to-fine ring expansion over the hierarchical cell grid.
-  At each round k (resolution res0 - k, cell edge doubling each
-  round) the remaining probes equi-join candidates in their 3x3 cell
-  neighborhood. A 3x3 cover guarantees everything within one cell
-  edge is seen, so a found minimum d <= edge(res_k) is PROVABLY the
-  global nearest and that probe exits the loop; otherwise the probe
-  continues to the coarser round (its candidate set only grows).
-  Terminates because edge doubles every round.
+  Phase 1 (bulk): 3x3 cell-cover equi-join at a fine resolution. A
+  3x3 cover guarantees everything within one cell edge is seen, so a
+  found minimum d <= edge(res0) is PROVABLY the global nearest and
+  the probe exits.
+
+  Phase 2 (stragglers): a COARSE-CELL HISTOGRAM of the build side
+  (occupied cell -> count), small enough to broadcast, acts as the
+  distributed analog of the reference's R-tree upper levels: each
+  straggler computes, map-side, the min/max possible distance to
+  every occupied coarse cell, keeps only cells whose min-distance
+  does not exceed its best upper bound, then equi-joins those few
+  cells for the exact minimum. Exact because any cell containing the
+  true nearest has min-dist <= true dist <= best upper bound.
+
+Naive ring-expansion to coarser cells is NOT used: at coarse
+resolutions dense cells make the candidate fan-out quadratic (probes
+x cell population) — measured as the difference between a 2e9-row
+join and an 18M-row map-side prune at sf0.1.
 
 Tie-break: (rint(dist*1000), id) — millimeter-rounded distance then
-lexicographic id, chosen so single-node oracles (numpy spec, DuckDB)
+lexicographic id, so single-node oracles (numpy spec, DuckDB)
 reproduce it without last-ulp ambiguity.
-
-Per-round work shrinks geometrically (most probes resolve in round
-0), so at 10^12 scale this is a handful of small shuffles after the
-first — and the first is the same cell-join machinery as J2.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from overmatch_spark import expressions as X
+
+
+def _best_per_probe(cand: DataFrame) -> DataFrame:
+    """Exact min with the engine's tie-break rule."""
+    return (
+        cand.groupBy("osm_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.rint(F.col("dist") * F.lit(1000.0)).alias("dk"),
+                    F.col("overture_id").alias("overture_id"),
+                    F.col("dist").alias("dist"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "osm_id",
+            F.col("best.overture_id").alias("overture_id"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
 
 
 def knn_fallback(
@@ -35,11 +62,11 @@ def knn_fallback(
     layer_b: DataFrame,
     matches: DataFrame,
     res0: int = 16,
-    min_res: int = 4,
+    coarse_res: int = 12,
 ) -> DataFrame:
     """Nearest layer_b feature for every named layer_a row absent from
     `matches`. Returns (osm_id, overture_id, distance_m)."""
-    remaining = (
+    probes = (
         layer_a.filter(F.col("name").isNotNull() & (F.col("name") != ""))
         .join(matches.select("osm_id").distinct(), "osm_id", "left_anti")
         .select(
@@ -54,84 +81,73 @@ def knn_fallback(
         X.merc_y(F.col("lat")).alias("by"),
     )
 
-    results = None
-    res = res0
-    while res >= min_res:
-        edge = X.cell_edge_m(res)
-        probe = remaining.withColumn(
-            "cell",
-            F.explode(
-                F.array(
-                    *[
-                        X.cell_id(
-                            X.cell_ix(F.col("ax"), res) + F.lit(dx),
-                            X.cell_iy(F.col("ay"), res) + F.lit(dy),
-                        )
-                        for dx in (-1, 0, 1)
-                        for dy in (-1, 0, 1)
-                    ]
-                )
-            ),
-        )
-        build = b.withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res))
-        cand = probe.join(build, "cell").withColumn(
-            "dist",
-            X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
-        )
-        best = (
-            cand.groupBy("osm_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.rint(F.col("dist") * F.lit(1000.0)).alias("dk"),
-                        F.col("overture_id").alias("overture_id"),
-                        F.col("dist").alias("dist"),
+    # ---- phase 1: fine 3x3 cover ----
+    edge0 = X.cell_edge_m(res0)
+    probe1 = probes.withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    X.cell_id(
+                        X.cell_ix(F.col("ax"), res0) + F.lit(dx),
+                        X.cell_iy(F.col("ay"), res0) + F.lit(dy),
                     )
-                ).alias("best")
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
             )
-            .select(
-                "osm_id",
-                F.col("best.overture_id").alias("overture_id"),
-                F.col("best.dist").alias("dist"),
-            )
-        )
-        # provably-global-nearest exit condition
-        done = best.filter(F.col("dist") <= F.lit(edge)).select(
-            "osm_id", "overture_id", X.round1(F.col("dist")).alias("distance_m")
-        )
-        results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(
-            done.select("osm_id"), "osm_id", "left_anti"
-        )
-        # cheap emptiness probe every few rounds keeps the loop from
-        # planning joins over an already-empty probe side
-        if res % 3 == 0 and remaining.isEmpty():
-            return results
-        res -= 1
-
-    # coarsest fallback: all-pairs via a single coarse cell is not
-    # guaranteed; finish stragglers with a broadcast cross join (the
-    # remaining set is tiny by construction)
-    straggler = (
-        remaining.crossJoin(F.broadcast(b))
-        .withColumn(
-            "dist",
-            X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
-        )
-        .groupBy("osm_id")
-        .agg(
-            F.min(
-                F.struct(
-                    F.rint(F.col("dist") * F.lit(1000.0)).alias("dk"),
-                    F.col("overture_id").alias("overture_id"),
-                    F.col("dist").alias("dist"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "osm_id",
-            F.col("best.overture_id").alias("overture_id"),
-            X.round1(F.col("best.dist")).alias("distance_m"),
-        )
+        ),
     )
-    return results.unionByName(straggler)
+    build1 = b.withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0))
+    cand1 = probe1.join(build1, "cell").withColumn(
+        "dist",
+        X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
+    )
+    best1 = _best_per_probe(cand1)
+    done1 = best1.filter(F.col("dist") <= F.lit(edge0))
+    stragglers = probes.join(done1.select("osm_id"), "osm_id", "left_anti")
+
+    # ---- phase 2: histogram-pruned exact search ----
+    edge_c = X.cell_edge_m(coarse_res)
+    build2 = b.withColumn("ccell", X.cell_of(F.col("bx"), F.col("by"), coarse_res))
+    hist = build2.groupBy("ccell").agg(F.count("*").alias("n"))
+
+    ix = F.shiftright(F.col("ccell"), 30)
+    iy = F.col("ccell") - F.shiftleft(ix, 30).cast("long")
+    cells = hist.select(
+        "ccell",
+        (ix * F.lit(edge_c) - F.lit(X.ORIGIN_M)).alias("xlo"),
+        ((ix + 1) * F.lit(edge_c) - F.lit(X.ORIGIN_M)).alias("xhi"),
+        (F.lit(X.ORIGIN_M) - (iy + 1) * F.lit(edge_c)).alias("ylo"),
+        (F.lit(X.ORIGIN_M) - iy * F.lit(edge_c)).alias("yhi"),
+    )
+
+    pc = stragglers.crossJoin(F.broadcast(cells))
+    ddx = F.greatest(F.lit(0.0), F.col("xlo") - F.col("ax"), F.col("ax") - F.col("xhi"))
+    ddy = F.greatest(F.lit(0.0), F.col("ylo") - F.col("ay"), F.col("ay") - F.col("yhi"))
+    mindist = F.sqrt(ddx * ddx + ddy * ddy)
+    mxx = F.greatest(
+        F.abs(F.col("xlo") - F.col("ax")), F.abs(F.col("xhi") - F.col("ax"))
+    )
+    mxy = F.greatest(
+        F.abs(F.col("ylo") - F.col("ay")), F.abs(F.col("yhi") - F.col("ay"))
+    )
+    maxdist = F.sqrt(mxx * mxx + mxy * mxy)
+    pc = pc.withColumn("mind", mindist).withColumn("maxd", maxdist)
+    w = Window.partitionBy("osm_id")
+    # +2 mm slack so every candidate sharing the winner's mm-rounded
+    # distance key survives pruning (exact tie-break reproducibility)
+    chosen = pc.withColumn("ub", F.min("maxd").over(w)).filter(
+        F.col("mind") <= F.col("ub") + F.lit(0.002)
+    ).select("osm_id", "ax", "ay", "ccell")
+
+    cand2 = chosen.join(build2, "ccell").withColumn(
+        "dist",
+        X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
+    )
+    done2 = _best_per_probe(cand2)
+
+    return (
+        done1.unionByName(done2)
+        .select("osm_id", "overture_id", X.round1(F.col("dist")).alias("distance_m"))
+    )

@@ -160,7 +160,9 @@ def sql_drop_toll_free(phone: str) -> str:
 
 # ---------------------------------------------------------------------------
 # F8 — phone normalize: any string with a 10-digit US number (optional
-# leading 1) -> "+1 XXX-XXX-XXXX" (atlus.get_phone pinned behavior)
+# leading +1) -> "+1-XXX-XXX-XXXX" (atlus.get_phone pinned behavior;
+# the dashed form is what the reference's toll-free blacklist keys on,
+# match.py:376-390)
 # ---------------------------------------------------------------------------
 
 _PHONE_RE = r"^\D*1?\D*(\d{3})\D*(\d{3})\D*(\d{4})\D*$"
@@ -169,7 +171,7 @@ _PHONE_RE = r"^\D*1?\D*(\d{3})\D*(\d{3})\D*(\d{4})\D*$"
 def normalize_phone(phone: Column) -> Column:
     ok = phone.rlike(_PHONE_RE)
     formatted = F.concat(
-        F.lit("+1 "),
+        F.lit("+1-"),
         F.regexp_extract(phone, _PHONE_RE, 1),
         F.lit("-"),
         F.regexp_extract(phone, _PHONE_RE, 2),
@@ -185,7 +187,7 @@ def sql_normalize_phone(phone: str) -> str:
     return (
         f"CASE WHEN {phone} IS NULL THEN NULL "
         f"WHEN regexp_matches({phone}, '{pat}') THEN "
-        f"concat('+1 ', regexp_extract({phone}, '{pat}', 1), '-', "
+        f"concat('+1-', regexp_extract({phone}, '{pat}', 1), '-', "
         f"regexp_extract({phone}, '{pat}', 2), '-', "
         f"regexp_extract({phone}, '{pat}', 3)) "
         f"ELSE {phone} END"

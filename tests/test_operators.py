@@ -1,0 +1,208 @@
+"""Operator-level tests: kNN golden vs spec, checkpoint/resume
+equality (kill + resume => identical sink), payload invariants,
+multimodal plumbing, dedup kernels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from overmatch_spark import fixtures
+from overmatch_spark.spec import conflate_spec, knn_spec
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def layers():
+    images = fixtures.make_images(N, with_bytes=False)
+    a = fixtures.derive_layer_a(images)
+    b = fixtures.source_filter_b(fixtures.derive_layer_b(images))
+    return a, b
+
+
+@pytest.fixture(scope="module")
+def golden(layers):
+    a, b = layers
+    return conflate_spec(a, b)
+
+
+def _spark_layers(spark, layers):
+    a, b = layers
+    sa = spark.createDataFrame(a[["osm_id", "name", "housenumber", "lon", "lat"]])
+    sb = spark.createDataFrame(b[["id", "name", "housenumber", "lon", "lat"]])
+    return sa, sb
+
+
+class TestKnn:
+    def test_knn_golden(self, spark, layers, golden):
+        from overmatch_spark.operators.conflate import conflate
+        from overmatch_spark.operators.knn import knn_fallback
+
+        sa, sb = _spark_layers(spark, layers)
+        m = conflate(sa, sb)
+        got = (
+            knn_fallback(sa, sb, m, res0=16, coarse_res=12)
+            .toPandas()
+            .sort_values("osm_id")
+            .reset_index(drop=True)
+        )
+        exp = knn_spec(*layers, golden)
+        assert len(got) == len(exp) > 0
+        pd.testing.assert_frame_equal(
+            got[["osm_id", "overture_id", "distance_m"]],
+            exp[["osm_id", "overture_id", "distance_m"]],
+            check_exact=True,
+        )
+
+
+class TestCheckpointResume:
+    def test_kill_and_resume_identical(self, spark, layers, golden, tmp_path):
+        from overmatch_spark.operators.checkpoint import ConflationJob
+
+        sa, sb = _spark_layers(spark, layers)
+        job = ConflationJob(spark, str(tmp_path / "job"), n_buckets=8)
+        job.prepare(sa, sb)
+        # simulate a crash after 3 buckets
+        assert job.run(max_buckets=3) == 3
+        assert len(job.completed_buckets()) == 3
+        # resume finishes the rest, no recompute of completed buckets
+        assert job.run() == 5
+        got = (
+            job.result()
+            .toPandas()
+            .sort_values(["osm_id", "overture_id"])
+            .reset_index(drop=True)[
+                ["osm_id", "overture_id", "lon", "lat", "distance_m", "similarity"]
+            ]
+        )
+        exp = golden[
+            ["osm_id", "overture_id", "lon", "lat", "distance_m", "similarity"]
+        ]
+        pd.testing.assert_frame_equal(got, exp, check_exact=True)
+        # lineage carries metrics for every bucket
+        lin = job.lineage()
+        assert len(lin) == 8
+        assert sum(r["n_matches"] for r in lin) == len(exp)
+        # idempotent: a second run does nothing
+        assert job.run() == 0
+
+
+class TestImages:
+    def test_payload_invariants(self, spark):
+        from overmatch_spark.fixtures import caption_for, make_images
+        from overmatch_spark.images import invariant_report
+
+        pdf = make_images(60, with_bytes=True)
+        df = spark.createDataFrame(pdf)
+        rep = invariant_report(df, expected_caption_fn=caption_for).toPandas()
+        assert len(rep) == 60
+        assert rep["pixels_ok"].all()
+        assert rep["caption_ok"].all()
+        lossy = rep[rep["image_id"].isin(pdf[pdf.fmt == "qlossy"]["image_id"])]
+        assert (lossy["psnr_db"] >= 40.0).all()
+
+    def test_qlossy_psnr_bound(self):
+        from overmatch_spark.images import decode, encode, gen_pixels, psnr_db
+
+        px = gen_pixels("img/000000000001", 32, 32)
+        dec = decode(encode(px, "qlossy"), 32, 32, "qlossy")
+        assert 40.0 <= psnr_db(px, dec) < 50.0
+        assert np.abs(px.astype(int) - dec.astype(int)).max() <= 2
+
+    def test_unknown_fmt_stubbed(self):
+        from overmatch_spark.images import encode
+
+        with pytest.raises(NotImplementedError):
+            encode(np.zeros((2, 2, 3), np.uint8), "jpeg")
+
+
+class TestMultimodal:
+    def test_extract_features_and_resize(self, spark):
+        from overmatch_spark.fixtures import make_images
+        from overmatch_spark.images import decode
+        from overmatch_spark.operators.multimodal import (
+            extract_features,
+            resize_nearest,
+        )
+
+        pdf = make_images(30, with_bytes=True)
+        df = spark.createDataFrame(pdf)
+        feats = extract_features(df).toPandas()
+        assert len(feats) == 30
+        assert ((feats["mean_r"] > 100) & (feats["mean_r"] < 155)).all()
+
+        small = resize_nearest(df, 8, 8).toPandas()
+        assert (small["w"] == 8).all()
+        row = small.iloc[0]
+        px = decode(row["bytes"], 8, 8, row["fmt"])
+        assert px.shape == (8, 8, 3)
+
+
+class TestDedupKernels:
+    def test_exact_dedup(self, spark):
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["x", "y", "x", "x"]})
+        )
+        kept = exact_dedup(df, "text", "doc_id").toPandas()
+        assert sorted(kept["doc_id"]) == [1, 2]
+
+    def test_minhash_finds_near_dups_not_distinct(self, spark):
+        from overmatch_spark.operators.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base + " tail"),
+            (3, "completely different words entirely unrelated content here"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        pairs = minhash_lsh_pairs(df, "text", "doc_id", jaccard_threshold=0.5)
+        got = pairs.toPandas()
+        assert {(r.id_a, r.id_b) for r in got.itertuples()} == {(1, 2)}
+
+    def test_cosine_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.dedup import cosine
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [[1.0, 0.0]], "b": [[1.0, 1.0]]})
+        )
+        got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).toPandas()["c"][0]
+        assert got == pytest.approx(1 / np.sqrt(2), rel=1e-12)
+
+
+class TestTags:
+    def test_website_chain(self, spark):
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.tags import clean_website
+
+        rows = [
+            ("HTTP://WWW.Foo.COM/Bar?utm_source=x&keep=1",),
+            ("https://www.doordash.com/store/99",),
+            ("https://ok.com/path",),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["w"]))
+        got = df.select(clean_website(F.col("w")).alias("c")).toPandas()["c"]
+        assert got[0] == "HTTP://www.foo.com/Bar?keep=1"
+        assert got[1] is None
+        assert got[2] == "https://ok.com/path"
+
+    def test_phone_chain(self, spark):
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.tags import drop_toll_free, normalize_phone
+
+        rows = [("(202) 555-0199",), ("+1 800 555 0000",), ("nonsense",)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["p"]))
+        got = df.select(
+            drop_toll_free(normalize_phone(F.col("p"))).alias("c")
+        ).toPandas()["c"]
+        assert got[0] == "+1-202-555-0199"
+        assert got[1] is None  # toll-free dropped after normalization
+        assert got[2] == "nonsense"  # no-parse tolerated (reference keeps it)
