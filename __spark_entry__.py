@@ -366,6 +366,74 @@ def q_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAG_CATS = ["restaurant", "bar", "cafe", "bakery"]
+
+
+def _multi_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from overmatch_spark import demo
+    from overmatch_spark.operators.conflate import conflate
+
+    a = demo.spark_layer_a(spark, sf_dir)
+    ball = demo.spark_layer_b(spark, sf_dir).unionByName(
+        demo.spark_layer_b2(spark, sf_dir)
+    )
+    m = conflate(a, ball)
+    return m.select(
+        "osm_id", "overture_id",
+        F.round(F.col("lon"), 9).alias("lon"),
+        F.round(F.col("lat"), 9).alias("lat"),
+        "distance_m", "similarity",
+    )
+
+
+def q_closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: closest-first rank-1 per element over genuine
+    multi-match groups (second candidate layer)."""
+    from overmatch_spark.operators.enrich import closest_match
+
+    m = _multi_matches(spark, sf_dir)
+    return closest_match(m).select("osm_id", "overture_id", "distance_m")
+
+
+def q_merge_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per tag key, the value of the NEAREST match carrying it
+    (closest-wins merge), emitted as a deterministic k=v string."""
+    from overmatch_spark.operators.enrich import merge_tags_closest_wins
+
+    m = _multi_matches(spark, sf_dir)
+    key = F.split(F.col("overture_id"), "/").getItem(1).cast("long")
+    is2 = F.col("overture_id").startswith("ov2/")
+    cat = F.element_at(
+        F.array(*[F.lit(c) for c in _TAG_CATS]), (key % 4 + 1).cast("int")
+    )
+    tags = F.when(
+        is2,
+        F.map_from_arrays(
+            F.array(F.lit("amenity"), F.lit("website")),
+            F.array(
+                F.lit("second_source"),
+                F.concat(F.lit("https://ex"), key.cast("string")),
+            ),
+        ),
+    ).otherwise(
+        F.map_from_arrays(
+            F.array(F.lit("amenity"), F.lit("ref")),
+            F.array(cat, key.cast("string")),
+        )
+    )
+    merged = merge_tags_closest_wins(m.withColumn("overture_tags", tags))
+    return merged.select(
+        "osm_id",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(F.col("merged_tags"))),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ";",
+        ).alias("merged"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conflate_matches": q_conflate_matches,
@@ -388,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_stats": q_text_stats,
         "lang_quality_summary": q_lang_quality_summary,
+        "closest_match": q_closest_match,
+        "merge_tags": q_merge_tags,
     }
 
 
@@ -743,7 +813,45 @@ def _oracle_sql_extended() -> dict[str, str]:
         FROM t GROUP BY pred_lang
     """
 
+    multi = demo.sql_layers_cte_multi()
+    cats_sql = "[" + ", ".join(f"'{c}'" for c in _TAG_CATS) + "]"
+    closest_sql = f"""
+        {multi},{demo.SQL_MATCHES},{demo.SQL_MATCHES2.lstrip().lstrip(',')}
+        , all_m AS (
+          SELECT * FROM matches UNION ALL SELECT * FROM matches2
+        ),
+        ranked AS (
+          SELECT osm_id, overture_id, distance_m,
+                 row_number() OVER (
+                   PARTITION BY osm_id ORDER BY distance_m, overture_id
+                 ) AS rn
+          FROM all_m
+        )
+        SELECT osm_id, overture_id, distance_m FROM ranked WHERE rn = 1
+    """
+    merge_sql = f"""
+        {multi},{demo.SQL_MATCHES},{demo.SQL_MATCHES2.lstrip().lstrip(',')}
+        , k2 AS (
+          SELECT m2.osm_id,
+                 CAST(string_split(m2.overture_id, '/')[2] AS BIGINT) AS key,
+                 m1.osm_id IS NOT NULL AS has_b1
+          FROM matches2 m2 LEFT JOIN matches m1 ON m1.osm_id = m2.osm_id
+        )
+        SELECT osm_id,
+               CASE WHEN has_b1 THEN
+                 concat('amenity=', {cats_sql}[CAST(key % 4 AS INTEGER) + 1],
+                        ';ref=', CAST(key AS VARCHAR),
+                        ';website=https://ex', CAST(key AS VARCHAR))
+               ELSE
+                 concat('amenity=second_source;website=https://ex',
+                        CAST(key AS VARCHAR))
+               END AS merged
+        FROM k2
+    """
+
     return {
+        "closest_match": closest_sql,
+        "merge_tags": merge_sql,
         "pip_filter": pip_sql,
         "match_quality": quality_sql,
         "tag_transform": tag_sql,

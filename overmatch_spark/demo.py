@@ -225,9 +225,82 @@ layer_b AS (
 )"""
 
 
+def spark_layer_b2(
+    spark: SparkSession, sf_dir: str,
+    table: str = "customer", key_col: str = "c_custkey",
+    df: DataFrame | None = None,
+) -> DataFrame:
+    """A SECOND candidate per key (7 m farther, exact name, no
+    housenumber) so W1/W2 run against genuine multi-match groups."""
+    import math
+
+    c = df if df is not None else load(spark, sf_dir, table)
+    key = F.col(key_col)
+    xa, ya = _grid_xy(key)
+    m = key % 10
+    d = (
+        F.when(m <= 5, (F.lit(10) + F.lit(8) * m).cast("double"))
+        .when(m == 6, F.lit(101.5))
+        .otherwise(F.lit(104.5))
+    ) + F.lit(7.0)
+    theta = ((key * 97) % 360).cast("double") * F.lit(math.pi) / F.lit(180.0)
+    bx = F.when(m <= 7, xa + d * F.cos(theta)).otherwise(xa)
+    by = F.when(m <= 7, ya + d * F.sin(theta)).otherwise(
+        (F.lit(FAR_Y) - (key % 1000)).cast("double")
+    )
+    return c.select(
+        F.concat(F.lit("ov2/"), key.cast("string")).alias("id"),
+        _vocab_name(key).alias("name"),
+        F.lit(None).cast("string").alias("housenumber"),
+        X.inv_merc_lon(bx).alias("lon"),
+        X.inv_merc_lat(by).alias("lat"),
+    )
+
+
+SQL_LAYER_B2 = f"""
+layer_b2_geom AS (
+  SELECT key, xa, ya,
+    (CASE WHEN key % 10 <= 5 THEN CAST(10 + 8 * (key % 10) AS DOUBLE)
+         WHEN key % 10 = 6 THEN 101.5 ELSE 104.5 END) + 7.0 AS d,
+    (CAST((key * 97) % 360 AS DOUBLE) * pi() / 180.0) AS theta
+  FROM layer_b_raw
+),
+layer_b2 AS (
+  SELECT
+    concat('ov2/', CAST(key AS VARCHAR)) AS id,
+    {SQL_VOCAB_NAME} AS name,
+    CAST(NULL AS VARCHAR) AS housenumber,
+    {X.sql_inv_merc_lon("CASE WHEN key % 10 <= 7 THEN xa + d * cos(theta) ELSE xa END")} AS lon,
+    {X.sql_inv_merc_lat(f"CASE WHEN key % 10 <= 7 THEN ya + d * sin(theta) ELSE CAST({FAR_Y} - (key % 1000) AS DOUBLE) END")} AS lat,
+    key
+  FROM layer_b2_geom
+)"""
+
+# matches of layer_a against layer_b2 (always sim 1.0, no
+# housenumber condition; same isolation argument applies since
+# d+7 <= 111.5 m and grid spacing >= 250 m)
+SQL_MATCHES2 = f"""
+pairs2 AS (
+  SELECT a.osm_id, b.id AS overture_id,
+         round(b.lon, 9) AS lon, round(b.lat, 9) AS lat,
+         {X.sql_planar_distance(X.sql_merc_x('a.lon'), X.sql_merc_y('a.lat'), X.sql_merc_x('b.lon'), X.sql_merc_y('b.lat'))} AS dist
+  FROM layer_a a JOIN layer_b2 b ON a.key = b.key
+  WHERE a.name IS NOT NULL AND a.name != ''
+),
+matches2 AS (
+  SELECT osm_id, overture_id, lon, lat,
+         round(dist * 10) / 10 AS distance_m, 1.0 AS similarity
+  FROM pairs2 WHERE dist <= 100.0
+)"""
+
+
 def sql_layers_cte() -> str:
     """`WITH <this>` prefix shared by all conflation oracle queries."""
     return f"WITH {SQL_LAYER_A.strip()},\n{SQL_LAYER_B.strip()}"
+
+
+def sql_layers_cte_multi() -> str:
+    return f"{sql_layers_cte()},\n{SQL_LAYER_B2.strip()}"
 
 
 # The conflation oracle: brute-force theta join with the closed-form

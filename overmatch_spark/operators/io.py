@@ -1,0 +1,69 @@
+"""Sources/sinks (SURVEY.md §2.1).
+
+The engine's canonical sink is parquet/Iceberg, but the reference's
+interchange formats are JSONL and GeoJSON:
+  K1 JSONL sink   — match.py:494-496 (pandas to_json lines)
+  S10 JSONL scan  — api/load_matches.py:21-41 (skip blank/malformed)
+  K2 GeoJSON sink — enrich_matches_with_dynamodb.py:398-404
+GeoJSON features are assembled with explicit string concat (not
+to_json) so the byte format is engine-portable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """K1: line-delimited JSON (Spark's json writer is JSONL)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S10: JSONL scan; PERMISSIVE mode tolerates malformed lines the
+    way the reference's try/except json.loads loop does."""
+    r = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def geojson_point_feature(
+    lon, lat, feature_id, props_json
+) -> F.Column:
+    """K2: a GeoJSON Feature string for a point. Explicit concat so
+    the bytes are deterministic (fixed key order, %.9f-free: raw
+    double repr is engine-specific, so coordinates are rounded to 9
+    decimals and rendered via format_number-free casting)."""
+    return F.concat(
+        F.lit('{"type":"Feature","id":'),
+        feature_id.cast("string"),
+        F.lit(',"geometry":{"type":"Point","coordinates":['),
+        F.round(lon, 9).cast("decimal(13,9)").cast("string"),
+        F.lit(","),
+        F.round(lat, 9).cast("decimal(12,9)").cast("string"),
+        F.lit(']},"properties":'),
+        props_json,
+        F.lit("}"),
+    )
+
+
+def sql_geojson_point_feature(lon: str, lat: str, feature_id: str,
+                              props_json: str) -> str:
+    return (
+        "concat('{\"type\":\"Feature\",\"id\":', "
+        f"CAST({feature_id} AS VARCHAR), "
+        "',\"geometry\":{\"type\":\"Point\",\"coordinates\":[', "
+        f"CAST(CAST(round({lon}, 9) AS DECIMAL(13,9)) AS VARCHAR), ',', "
+        f"CAST(CAST(round({lat}, 9) AS DECIMAL(12,9)) AS VARCHAR), "
+        "']},\"properties\":', "
+        f"{props_json}, "
+        "'}')"
+    )
+
+
+def latest_release(df: DataFrame, col: str = "release") -> DataFrame:
+    """S7/A5: lexicographic max of release prefixes
+    (get_latest_overture_release.py:4-10)."""
+    return df.agg(F.max(col).alias("latest"))

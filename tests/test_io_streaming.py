@@ -1,0 +1,87 @@
+"""I/O (JSONL/GeoJSON) and Structured Streaming ingest tests."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestJsonl:
+    def test_roundtrip_and_malformed(self, spark, tmp_path):
+        from overmatch_spark.operators.io import read_jsonl, write_jsonl
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+        )
+        p = str(tmp_path / "out")
+        write_jsonl(df, p)
+        back = read_jsonl(spark, p, schema="a long, b string").toPandas()
+        assert sorted(back["a"]) == [1, 2, 3]
+
+        # S10: malformed lines tolerated (PERMISSIVE -> nulls)
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        (raw / "part.jsonl").write_text(
+            '{"a": 1, "b": "x"}\nnot json at all\n\n{"a": 2, "b": "y"}\n'
+        )
+        got = read_jsonl(spark, str(raw), schema="a long, b string").toPandas()
+        assert sorted(x for x in got["a"] if pd.notna(x)) == [1, 2]
+
+
+class TestGeoJson:
+    def test_feature_string_is_valid_geojson(self, spark):
+        from overmatch_spark.operators.io import geojson_point_feature
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": [-77.03], "lat": [38.9], "fid": [7]})
+        )
+        s = df.select(
+            geojson_point_feature(
+                F.col("lon"), F.col("lat"), F.col("fid"), F.lit('{"name":"A"}')
+            ).alias("f")
+        ).toPandas()["f"][0]
+        obj = json.loads(s)
+        assert obj["type"] == "Feature" and obj["id"] == 7
+        assert obj["geometry"]["coordinates"] == [-77.03, 38.9]
+        assert obj["properties"] == {"name": "A"}
+
+
+class TestStreamingIngest:
+    def test_available_now_merge_and_resume(self, spark, tmp_path):
+        from overmatch_spark.streaming.ingest import run_seen_ingest
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+
+        (inp / "b1.json").write_text(
+            '{"element_id": "n1", "seen_at": 100}\n'
+            '{"element_id": "n2", "seen_at": 150}\n'
+        )
+        run_seen_ingest(spark, str(inp), store, ckpt)
+        got = spark.read.parquet(store).toPandas().set_index("element_id")
+        assert got.loc["n1", "first_seen"] == 100
+
+        # second file arrives: n1 touched again -> first_seen immutable,
+        # last_seen refreshed; processed files are NOT reprocessed
+        (inp / "b2.json").write_text(
+            '{"element_id": "n1", "seen_at": 300}\n'
+            '{"element_id": "n3", "seen_at": 50}\n'
+        )
+        run_seen_ingest(spark, str(inp), store, ckpt)
+        got = spark.read.parquet(store).toPandas().set_index("element_id")
+        assert len(got) == 3
+        assert got.loc["n1", "first_seen"] == 100
+        assert got.loc["n1", "last_seen"] == 300
+        assert got.loc["n3", "first_seen"] == 50
+
+    def test_windowed_event_counts_batch_parity(self, spark):
+        from overmatch_spark.streaming.ingest import windowed_event_counts
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = windowed_event_counts(events).toPandas()
+        assert got["n"].sum() == events.count()
+        assert (got.groupby(["window_start", "event_type"]).size() == 1).all()
