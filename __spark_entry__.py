@@ -434,6 +434,73 @@ def q_merge_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14/F15: WKT point parse, OSM id format/parse round-trip,
+    vertex-array centroid."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators import structs
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    wkt = F.concat(
+        F.lit("POINT("), (key % 360 - 180).cast("string"), F.lit(" "),
+        (key % 170 - 85).cast("string"), F.lit(")"),
+    )
+    wlon, wlat = structs.parse_wkt_point(wkt)
+    xs = F.array(
+        key.cast("double"), (key + 1).cast("double"), (key + 5).cast("double")
+    )
+    ys = F.array(
+        (key * 2).cast("double"), (key * 2 + 3).cast("double"),
+        (key * 2 + 9).cast("double"),
+    )
+    cx, cy = structs.centroid(xs, ys)
+    osm_id = structs.osm_id_format(F.lit("node"), key)
+    t, num = structs.osm_id_parse(osm_id)
+    return c.select(
+        key.alias("id"), wlon.alias("wlon"), wlat.alias("wlat"),
+        cx.alias("cx"), cy.alias("cy"),
+        t.alias("osm_type"), num.alias("osm_num"),
+    )
+
+
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23: symmetric Hausdorff distance between per-key vertex sets
+    (pure expressions over array columns)."""
+    from overmatch_spark import demo
+    from overmatch_spark import expressions as X
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    xa = F.array(key.cast("double"), (key + 10).cast("double"),
+                 (key + 3).cast("double"))
+    ya = F.array((key * 2).cast("double"), (key * 2 + 4).cast("double"),
+                 (key * 2 + 11).cast("double"))
+    xb = F.array((key + 1).cast("double"), (key + 7).cast("double"))
+    yb = F.array((key * 2 + 2).cast("double"), (key * 2 + 5).cast("double"))
+    return c.select(
+        key.alias("id"),
+        F.round(X.hausdorff(xa, ya, xb, yb), 6).alias("hausdorff_m"),
+    )
+
+
+def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: seeded deterministic shuffle, emitted as (id, position)."""
+    from pyspark.sql import Window
+
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import h60
+
+    c = demo.load(spark, sf_dir, "customer")
+    key_s = F.col("c_custkey").cast("string")
+    rank_key = h60(F.concat(key_s, F.lit(":42")))
+    w = Window.orderBy(rank_key.asc(), F.col("c_custkey").asc())
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conflate_matches": q_conflate_matches,
@@ -458,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_summary": q_lang_quality_summary,
         "closest_match": q_closest_match,
         "merge_tags": q_merge_tags,
+        "struct_ops": q_struct_ops,
+        "det_shuffle": q_det_shuffle,
+        "hausdorff": q_hausdorff,
     }
 
 
@@ -849,9 +919,63 @@ def _oracle_sql_extended() -> dict[str, str]:
         FROM k2
     """
 
+    from overmatch_spark.operators import structs
+
+    wkt_in = (
+        "concat('POINT(', CAST(c_custkey % 360 - 180 AS VARCHAR), ' ', "
+        "CAST(c_custkey % 170 - 85 AS VARCHAR), ')')"
+    )
+    wlon, wlat = structs.sql_parse_wkt_point("wkt")
+    cx, cy = structs.sql_centroid("xs", "ys")
+    struct_ops_sql = f"""
+        WITH base AS (
+          SELECT c_custkey AS id, {wkt_in} AS wkt,
+                 [CAST(c_custkey AS DOUBLE), CAST(c_custkey + 1 AS DOUBLE),
+                  CAST(c_custkey + 5 AS DOUBLE)] AS xs,
+                 [CAST(c_custkey * 2 AS DOUBLE), CAST(c_custkey * 2 + 3 AS DOUBLE),
+                  CAST(c_custkey * 2 + 9 AS DOUBLE)] AS ys,
+                 concat('node/', CAST(c_custkey AS VARCHAR)) AS osm_id
+          FROM customer
+        )
+        SELECT id, {wlon} AS wlon, {wlat} AS wlat,
+               {cx} AS cx, {cy} AS cy,
+               string_split(osm_id, '/')[1] AS osm_type,
+               CAST(string_split(osm_id, '/')[2] AS BIGINT) AS osm_num
+        FROM base
+    """
+    det_shuffle_sql = f"""
+        SELECT c_custkey AS id,
+               CAST(row_number() OVER (
+                 ORDER BY {dd.sql_h60("concat(CAST(c_custkey AS VARCHAR), ':42')")},
+                          c_custkey
+               ) AS BIGINT) AS pos
+        FROM customer
+    """
+
+    hxa = ("[CAST(c_custkey AS DOUBLE), CAST(c_custkey + 10 AS DOUBLE), "
+           "CAST(c_custkey + 3 AS DOUBLE)]")
+    hya = ("[CAST(c_custkey * 2 AS DOUBLE), CAST(c_custkey * 2 + 4 AS DOUBLE), "
+           "CAST(c_custkey * 2 + 11 AS DOUBLE)]")
+    hxb = "[CAST(c_custkey + 1 AS DOUBLE), CAST(c_custkey + 7 AS DOUBLE)]"
+    hyb = ("[CAST(c_custkey * 2 + 2 AS DOUBLE), "
+           "CAST(c_custkey * 2 + 5 AS DOUBLE)]")
+    hausdorff_sql = f"""
+        WITH v AS (
+          SELECT c_custkey AS id, {hxa} AS xa, {hya} AS ya,
+                 {hxb} AS xb, {hyb} AS yb
+          FROM customer
+        )
+        SELECT id, round({X.sql_hausdorff('xa', 'ya', 'xb', 'yb')}, 6)
+               AS hausdorff_m
+        FROM v
+    """
+
     return {
         "closest_match": closest_sql,
         "merge_tags": merge_sql,
+        "struct_ops": struct_ops_sql,
+        "det_shuffle": det_shuffle_sql,
+        "hausdorff": hausdorff_sql,
         "pip_filter": pip_sql,
         "match_quality": quality_sql,
         "tag_transform": tag_sql,

@@ -58,10 +58,20 @@ def main():
     # advisory shuffle size lowered so AQE keeps parallelism on this
     # (deliberately small) benchmark input; at production scale the
     # default 64m advisory is correct and this override is dropped
+    # autoBroadcastJoinThreshold=-1: the bench layers are DERIVED from
+    # a tiny parquet file, so Catalyst's size estimates are off by
+    # ~100x and AQE mis-broadcasts a multi-million-row build side
+    # (measured: driver OOM at 4.8M rows, and heavy anti-scaling from
+    # single-threaded broadcast build + bandwidth-bound hash probes).
+    # Explicit broadcast()/hints are unaffected. On real tables with
+    # real stats the default threshold is correct.
     spark = get_spark(
         "overmatch-bench",
         cpus=cpus,
-        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+        extra_conf={
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -121,14 +121,15 @@ def cell_of(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
 
 
 def disk_cover_cells(x: np.ndarray, y: np.ndarray, res: int, radius_m: float):
-    """Cells covering the (x±r, y±r) square around each point.
+    """Cells covering the (x±r, y±r) square around each point
+    (superset cover, padded to a fixed width for vectorization).
 
-    Returns an (n, k) int64 array of cell ids (k = cover width^2).
-    With cell edge >= radius this is the 3x3 neighborhood; smaller
-    edges widen the cover. Mirrors the reference's
-    ``point.buffer(d).bounds -> rtree.intersection``
-    (/root/reference/scripts/match.py:212-215) as a cell equi-join key.
-    """
+    Returns an (n, k) int64 array of cell ids. Mirrors the
+    reference's ``point.buffer(d).bounds -> rtree.intersection``
+    (/root/reference/scripts/match.py:212-215) as a cell equi-join
+    key. The Spark engine (expressions.cover_cells) enumerates the
+    exact per-point cover; this padded superset is equivalent for the
+    tests that use it (any superset is correct)."""
     edge = cell_edge_m(res)
     reach = int(np.ceil(radius_m / edge))
     ix = cell_ix(x, res)

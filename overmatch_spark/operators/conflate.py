@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from overmatch_spark import expressions as X
 from overmatch_spark.udfs import indel_sim
 
-DEFAULT_RES = 18  # cell edge ~152.9 m >= 100 m buffer -> 3x3 cover
+# Default resolution 17 (cell edge ~305.7 m): the exact cover
+# averages ~2.7 cells per probe (vs ~5.4 at res 18) — half the
+# probe-side shuffle volume; the extra candidates are pruned by the
+# codegen distance filter, which is far cheaper than shuffle bytes.
+DEFAULT_RES = 17
 DEFAULT_BUFFER_M = 100.0
 DEFAULT_SIM = 0.6
 

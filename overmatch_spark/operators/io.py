@@ -63,6 +63,32 @@ def sql_geojson_point_feature(lon: str, lat: str, feature_id: str,
     )
 
 
+def read_geojson_features(
+    spark: SparkSession, path: str, properties_schema: str
+) -> DataFrame:
+    """S1/S2: GeoJSON FeatureCollection scan -> one row per feature
+    with Point lon/lat + typed properties (the reference loads these
+    via geopandas at match.py:89-110). multiLine JSON + explode."""
+    schema = (
+        "type string, features array<struct<"
+        "type: string, "
+        f"properties: struct<{properties_schema}>, "
+        "geometry: struct<type: string, coordinates: array<double>>>>"
+    )
+    fc = spark.read.option("multiLine", "true").schema(schema).json(path)
+    f = fc.select(F.explode("features").alias("f"))
+    return f.select(
+        F.col("f.properties.*"),
+        F.col("f.geometry.coordinates")[0].alias("lon"),
+        F.col("f.geometry.coordinates")[1].alias("lat"),
+    )
+
+
+def read_csv_taxonomy(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """S6: delimited taxonomy scan (get_categories.py:12-39)."""
+    return spark.read.option("header", "true").option("sep", sep).csv(path)
+
+
 def latest_release(df: DataFrame, col: str = "release") -> DataFrame:
     """S7/A5: lexicographic max of release prefixes
     (get_latest_overture_release.py:4-10)."""

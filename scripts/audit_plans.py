@@ -1,0 +1,113 @@
+"""Physical-plan audit (SURVEY.md §4.2): capture .explain("formatted")
+for the engine's headline operators and verify the plan properties
+that matter at 100 TB — parquet filter/column pushdown, codegen
+coverage, broadcast decisions, exchange reuse. Writes PLANS.md.
+
+Usage: python scripts/audit_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+
+def grab_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from overmatch_spark import demo
+    from overmatch_spark.operators.conflate import conflate
+    from overmatch_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+
+    sections = []
+
+    # 1. pushdown: a filtered, projected scan
+    scan = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_name")
+    )
+    p = grab_plan(scan)
+    sections.append(("Projected+filtered parquet scan (P2-P4/S4)", p, None))
+
+    # 2. the conflation join
+    a = demo.spark_layer_a(spark, sf)
+    b = demo.spark_layer_b(spark, sf)
+    m = conflate(a, b)
+    sections.append(("Conflation join J1-J5", grab_plan(m), None))
+
+    # 3. broadcast variant
+    mb = conflate(a, b, broadcast_b=True)
+    sections.append(("Conflation join, broadcast build side", grab_plan(mb), None))
+
+    checks = []
+
+    def check(name, cond):
+        checks.append((name, bool(cond)))
+
+    scan_plan = sections[0][1]
+    check("parquet filter pushdown (PushedFilters has LessThan)",
+          re.search(r"PushedFilters: \[.*(LessThan|IsNotNull)", scan_plan))
+    check("column pruning (ReadSchema only 2 cols)",
+          "c_acctbal" not in scan_plan.split("ReadSchema")[1][:200])
+    conf_plan = sections[1][1]
+    check("whole-stage codegen present (scan plan)", "codegen id" in scan_plan)
+    check(
+        "single Arrow UDF eval node (no duplicate kernel eval)",
+        len(re.findall(r"\(\d+\) ArrowEvalPython", conf_plan)) == 1,
+    )
+    udf = re.search(r"\((\d+)\) ArrowEvalPython", conf_plan)
+    join = re.search(r"\((\d+)\) (BroadcastHashJoin|SortMergeJoin)", conf_plan)
+    check(
+        "UDF evaluated AFTER the join+distance stage (join id < udf id)",
+        udf and join and int(join.group(1)) < int(udf.group(1)),
+    )
+    bc_plan = sections[2][1]
+    check("broadcast hint honored", "BroadcastHashJoin" in bc_plan
+          or "BroadcastExchange" in bc_plan)
+
+    with open("PLANS.md", "w") as f:
+        f.write("# PLANS — physical-plan audit\n\n")
+        f.write("Automated checks (scripts/audit_plans.py):\n\n")
+        for name, ok in checks:
+            f.write(f"- [{'x' if ok else ' '}] {name}\n")
+        f.write("\n")
+        for title, plan, _ in sections:
+            f.write(f"\n## {title}\n\n```\n{plan}\n```\n")
+    bad = [n for n, ok in checks if not ok]
+    print("checks:", len(checks) - len(bad), "ok,", len(bad), "failed", bad)
+    spark.stop()
+
+
+def _filter_before_udf(plan: str) -> bool:
+    """In the formatted plan, the dist<=100 Filter must be a child of
+    (executed before) the ArrowEvalPython node: its node id is larger
+    (formatted plans number parents before children top-down)."""
+    udf = re.search(r"\((\d+)\) ArrowEvalPython", plan)
+    filt = None
+    for m in re.finditer(r"\((\d+)\) Filter", plan):
+        nid = int(m.group(1))
+        seg = plan[m.end():m.end() + 400]
+        if "100.0" in seg:
+            filt = nid
+            break
+    return udf is not None and filt is not None and filt < int(udf.group(1))
+
+
+if __name__ == "__main__":
+    main()

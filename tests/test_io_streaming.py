@@ -48,6 +48,35 @@ class TestGeoJson:
         assert obj["properties"] == {"name": "A"}
 
 
+class TestGeoJsonScan:
+    def test_feature_collection_scan(self, spark, tmp_path):
+        from overmatch_spark.operators.io import read_geojson_features
+
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {"@id": "node/1", "name": "Cafe A"},
+                    "geometry": {"type": "Point", "coordinates": [-77.01, 38.91]},
+                },
+                {
+                    "type": "Feature",
+                    "properties": {"@id": "node/2", "name": None},
+                    "geometry": {"type": "Point", "coordinates": [-77.02, 38.92]},
+                },
+            ],
+        }
+        p = tmp_path / "fc.geojson"
+        p.write_text(json.dumps(fc))
+        got = read_geojson_features(
+            spark, str(p), "`@id`: string, name: string"
+        ).toPandas()
+        assert len(got) == 2
+        assert got["@id"].tolist() == ["node/1", "node/2"]
+        assert got["lon"].tolist() == [-77.01, -77.02]
+
+
 class TestStreamingIngest:
     def test_available_now_merge_and_resume(self, spark, tmp_path):
         from overmatch_spark.streaming.ingest import run_seen_ingest

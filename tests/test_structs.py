@@ -1,0 +1,97 @@
+"""F9/F10/F11/K7/W5 struct & misc operator tests."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+NAMES_T = StructType(
+    [StructField("primary", StringType()), StructField("rules", StringType())]
+)
+SOURCES_T = ArrayType(
+    StructType(
+        [
+            StructField("dataset", StringType()),
+            StructField("update_time", StringType()),
+        ]
+    )
+)
+
+
+class TestStructs:
+    def test_null_rules(self, spark):
+        from overmatch_spark.operators.structs import null_rules
+
+        df = spark.createDataFrame(
+            [(("Cafe X", "keep"),)],
+            StructType([StructField("names", NAMES_T)]),
+        )
+        got = df.select(null_rules(F.col("names")).alias("n")).collect()[0]["n"]
+        assert got["primary"] == "Cafe X" and got["rules"] is None
+
+    def test_repair_update_time(self, spark):
+        from overmatch_spark.operators.structs import repair_update_time
+
+        df = spark.createDataFrame(
+            [([("meta", "2024-05-01T00:00:00.000"), ("osm", "2024-05-02T10:11:12Z")],)],
+            StructType([StructField("sources", SOURCES_T)]),
+        )
+        got = df.select(repair_update_time(F.col("sources")).alias("s")).collect()[0][
+            "s"
+        ]
+        assert got[0]["update_time"] == "2024-05-01T00:00:00Z"
+        assert got[1]["update_time"] == "2024-05-02T10:11:12Z"
+
+    def test_flatten_struct(self, spark):
+        from overmatch_spark.operators.structs import flatten_struct
+
+        df = spark.createDataFrame(
+            [(("A", "r1"),)], StructType([StructField("names", NAMES_T)])
+        )
+        got = flatten_struct(df, "names").toPandas()
+        assert list(got.columns) == ["names_primary", "names_rules"]
+        assert got["names_primary"][0] == "A"
+
+    def test_osm_change_xml(self, spark):
+        from overmatch_spark.operators.structs import osm_change_xml
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": [42], "v": [3], "lat": ["38.9"], "lon": ["-77.0"]}
+            )
+        ).withColumn(
+            "tags",
+            F.create_map(
+                F.lit("website"), F.lit("https://x.com"),
+                F.lit("amenity"), F.lit("cafe"),
+            ),
+        )
+        got = df.select(
+            osm_change_xml(
+                F.col("id"), F.col("v"), F.col("lat"), F.col("lon"), F.col("tags")
+            ).alias("x")
+        ).collect()[0]["x"]
+        assert got == (
+            '<osmChange version="0.6"><modify><node id="42" version="3" '
+            'lat="38.9" lon="-77.0">'
+            '<tag k="amenity" v="cafe"/><tag k="website" v="https://x.com"/>'
+            "</node></modify></osmChange>"
+        )
+
+    def test_deterministic_shuffle_stable(self, spark):
+        from overmatch_spark.operators.structs import deterministic_shuffle
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [str(i) for i in range(50)]})
+        )
+        o1 = [r["id"] for r in deterministic_shuffle(df, 42, "id").collect()]
+        o2 = [
+            r["id"]
+            for r in deterministic_shuffle(df.repartition(7), 42, "id").collect()
+        ]
+        assert o1 == o2  # stable across partitionings
+        assert o1 != sorted(o1, key=int)  # actually shuffled
