@@ -434,6 +434,64 @@ def q_merge_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OSM_CATS = ["restaurant", "bar", "cafe"]
+
+
+def q_tag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/F22/D3/W6: per-key tag diff classification between OSM-side
+    tags and the merged (closest-wins) Overture tags + auto-apply
+    flag."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.enrich import (
+        auto_apply_keys,
+        merge_tags_closest_wins,
+        tag_diff,
+    )
+
+    m = _multi_matches(spark, sf_dir)
+    key = F.split(F.col("overture_id"), "/").getItem(1).cast("long")
+    is2 = F.col("overture_id").startswith("ov2/")
+    cat = F.element_at(
+        F.array(*[F.lit(c) for c in _TAG_CATS]), (key % 4 + 1).cast("int")
+    )
+    tags = F.when(
+        is2,
+        F.map_from_arrays(
+            F.array(F.lit("amenity"), F.lit("website")),
+            F.array(
+                F.lit("second_source"),
+                F.concat(F.lit("https://ex"), key.cast("string")),
+            ),
+        ),
+    ).otherwise(
+        F.map_from_arrays(
+            F.array(F.lit("amenity"), F.lit("ref")),
+            F.array(cat, key.cast("string")),
+        )
+    )
+    merged = merge_tags_closest_wins(m.withColumn("overture_tags", tags))
+
+    a = demo.spark_layer_a(spark, sf_dir).filter(
+        F.col("name").isNotNull() & (F.col("name") != "")
+    )
+    akey = F.split(F.col("osm_id"), "/").getItem(1).cast("long")
+    osm_tags = a.select(
+        "osm_id",
+        F.map_from_arrays(
+            F.array(F.lit("amenity"), F.lit("phone")),
+            F.array(
+                F.element_at(
+                    F.array(*[F.lit(c) for c in _OSM_CATS]),
+                    (akey % 3 + 1).cast("int"),
+                ),
+                F.lit("+1-202-555-0199"),
+            ),
+        ).alias("tags"),
+    )
+    d = auto_apply_keys(tag_diff(osm_tags, merged))
+    return d.select("osm_id", "key", "status", "auto_apply")
+
+
 def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13/F14/F15: WKT point parse, OSM id format/parse round-trip,
     vertex-array centroid."""
@@ -528,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_ops": q_struct_ops,
         "det_shuffle": q_det_shuffle,
         "hausdorff": q_hausdorff,
+        "tag_diff": q_tag_diff,
     }
 
 
@@ -970,9 +1029,41 @@ def _oracle_sql_extended() -> dict[str, str]:
         FROM v
     """
 
+    osm_cats_sql = "[" + ", ".join(f"'{c}'" for c in _OSM_CATS) + "]"
+    tag_diff_sql = f"""
+        {multi},{demo.SQL_MATCHES},{demo.SQL_MATCHES2.lstrip().lstrip(',')}
+        , base AS (
+          SELECT a.osm_id, a.key AS k,
+                 (m1.osm_id IS NOT NULL) AS has1,
+                 (m2.osm_id IS NOT NULL) AS has2
+          FROM layer_a a
+          LEFT JOIN (SELECT DISTINCT osm_id FROM matches) m1
+            ON m1.osm_id = a.osm_id
+          LEFT JOIN (SELECT DISTINCT osm_id FROM matches2) m2
+            ON m2.osm_id = a.osm_id
+          WHERE a.name IS NOT NULL AND a.name != ''
+        )
+        SELECT osm_id, 'amenity' AS key,
+               CASE WHEN NOT has2 THEN 'osm_only'
+                    WHEN has1 AND {osm_cats_sql}[CAST(k % 3 AS INTEGER) + 1]
+                         = {cats_sql}[CAST(k % 4 AS INTEGER) + 1] THEN 'same'
+                    ELSE 'different' END AS status,
+               FALSE AS auto_apply
+        FROM base
+        UNION ALL
+        SELECT osm_id, 'phone', 'osm_only', TRUE FROM base
+        UNION ALL
+        SELECT osm_id, 'ref', 'overture_only', FALSE FROM base
+        WHERE has2 AND has1
+        UNION ALL
+        SELECT osm_id, 'website', 'overture_only', TRUE FROM base
+        WHERE has2
+    """
+
     return {
         "closest_match": closest_sql,
         "merge_tags": merge_sql,
+        "tag_diff": tag_diff_sql,
         "struct_ops": struct_ops_sql,
         "det_shuffle": det_shuffle_sql,
         "hausdorff": hausdorff_sql,
