@@ -94,6 +94,8 @@ def knn_fallback(
     replaced a one-size histogram phase 2 whose candidate join was
     measured at ~140M rows (80 s) at 600k features; the bounded-cover
     version is ~8 s."""
+    # probes feed phase 1, the straggler anti-join, and phase 2 —
+    # persist (narrow: id + 2 doubles per unmatched row)
     probes = (
         layer_a.filter(F.col("name").isNotNull() & (F.col("name") != ""))
         .join(matches.select("osm_id").distinct(), "osm_id", "left_anti")
@@ -102,6 +104,7 @@ def knn_fallback(
             X.merc_x(F.col("lon")).alias("ax"),
             X.merc_y(F.col("lat")).alias("ay"),
         )
+        .persist()
     )
     b = layer_b.select(
         F.col("id").alias("overture_id"),
