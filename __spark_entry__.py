@@ -83,6 +83,30 @@ def q_knn_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_fallback(a, b, m)
 
 
+def q_tile_bounds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 inverse (raster->vector): every match point must fall
+    inside the bbox of the tile it was assigned to; emits the tile
+    bboxes (rounded) + containment flag per match."""
+    from overmatch_spark import expressions as X
+
+    m = _matches_df(spark, sf_dir)
+    tx = X.tile_x(F.col("lon"), 12)
+    ty = X.tile_y(F.col("lat"), 12)
+    m = m.select("osm_id", "lon", "lat", tx.alias("tx"), ty.alias("ty"))
+    lon_min, lat_min, lon_max, lat_max = X.tile_bounds(
+        F.col("tx"), F.col("ty"), 12
+    )
+    return m.select(
+        "osm_id", "tx", "ty",
+        F.round(lon_min, 9).alias("lon_min"),
+        F.round(lat_min, 9).alias("lat_min"),
+        (
+            (F.col("lon") >= lon_min) & (F.col("lon") < lon_max)
+            & (F.col("lat") > lat_min) & (F.col("lat") <= lat_max)
+        ).alias("contained"),
+    )
+
+
 def q_tile_counts_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F24 + K3 grouping: slippy-tile assignment of match points at
     z=12, with per-tile feature counts."""
@@ -566,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_matches": q_grouped_matches,
         "knn_fallback": q_knn_fallback,
         "tile_counts_z12": q_tile_counts_z12,
+        "tile_bounds_roundtrip": q_tile_bounds_roundtrip,
         "pip_filter": q_pip_filter,
         "match_quality": q_match_quality,
         "tag_transform": q_tag_transform,
@@ -1060,10 +1085,28 @@ def _oracle_sql_extended() -> dict[str, str]:
         WHERE has2
     """
 
+    blon_min, blat_min, blon_max, blat_max = X.sql_tile_bounds("tx", "ty", 12)
+    tile_bounds_sql = f"""
+        {matches_cte},
+        t AS (
+          SELECT osm_id, lon, lat,
+                 {X.sql_tile_x('lon', 12)} AS tx,
+                 {X.sql_tile_y('lat', 12)} AS ty
+          FROM matches
+        )
+        SELECT osm_id, tx, ty,
+               round({blon_min}, 9) AS lon_min,
+               round({blat_min}, 9) AS lat_min,
+               (lon >= {blon_min} AND lon < {blon_max}
+                AND lat > {blat_min} AND lat <= {blat_max}) AS contained
+        FROM t
+    """
+
     return {
         "closest_match": closest_sql,
         "merge_tags": merge_sql,
         "tag_diff": tag_diff_sql,
+        "tile_bounds_roundtrip": tile_bounds_sql,
         "struct_ops": struct_ops_sql,
         "det_shuffle": det_shuffle_sql,
         "hausdorff": hausdorff_sql,

@@ -181,6 +181,41 @@ def sql_tile_y(lat: str, z: int) -> str:
     )
 
 
+def tile_bounds(x: Column, y: Column, z: int):
+    """Inverse slippy math (raster tile -> vector bbox): returns
+    (lon_min, lat_min, lon_max, lat_max) of tile (x, y) at zoom z —
+    the raster->vector direction of the tile assignment."""
+    n = float(1 << z)
+    lon_min = x.cast("double") / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    lon_max = (x.cast("double") + F.lit(1.0)) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+
+    def lat_of(yy):
+        m = F.lit(math.pi) - F.lit(2.0 * math.pi) * yy / F.lit(n)
+        return (
+            F.atan((F.exp(m) - F.exp(-m)) / F.lit(2.0))
+            * F.lit(180.0)
+            / F.lit(math.pi)
+        )
+
+    lat_max = lat_of(y.cast("double"))
+    lat_min = lat_of(y.cast("double") + F.lit(1.0))
+    return lon_min, lat_min, lon_max, lat_max
+
+
+def sql_tile_bounds(x: str, y: str, z: int):
+    n = float(1 << z)
+    lon_min = f"(CAST({x} AS DOUBLE) / {n!r} * 360.0 - 180.0)"
+    lon_max = f"((CAST({x} AS DOUBLE) + 1.0) / {n!r} * 360.0 - 180.0)"
+
+    def lat_of(yy):
+        m = f"(pi() - 2.0 * pi() * {yy} / {n!r})"
+        return f"(atan((exp({m}) - exp(-{m})) / 2.0) * 180.0 / pi())"
+
+    lat_max = lat_of(f"CAST({y} AS DOUBLE)")
+    lat_min = lat_of(f"(CAST({y} AS DOUBLE) + 1.0)")
+    return lon_min, lat_min, lon_max, lat_max
+
+
 # ---------------------------------------------------------------------------
 # Point-in-polygon (P5) — even-odd ray cast, unrolled over a literal
 # polygon at plan time (horizontal edges contribute nothing and are
