@@ -206,3 +206,38 @@ class TestTags:
         assert got[0] == "+1-202-555-0199"
         assert got[1] is None  # toll-free dropped after normalization
         assert got[2] == "nonsense"  # no-parse tolerated (reference keeps it)
+
+
+class TestKnnHintless:
+    def test_probe_with_empty_neighborhood(self, spark):
+        """A probe >100 km from every candidate has NO phase-1 hint —
+        exercises the histogram-pruned phase 2b exclusively."""
+        from overmatch_spark.operators.knn import knn_fallback
+
+        a = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "osm_id": ["node/far"],
+                    "name": ["Lonely Cafe"],
+                    "housenumber": [None],
+                    "lon": [-80.0],
+                    "lat": [40.0],
+                }
+            )
+        )
+        b = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": ["ov/x", "ov/y", "ov/z"],
+                    "name": ["A", "B", "C"],
+                    "housenumber": [None, None, None],
+                    "lon": [-77.0, -77.5, -76.9],
+                    "lat": [38.9, 38.7, 39.0],
+                }
+            )
+        )
+        empty_matches = spark.createDataFrame([], "osm_id string")
+        got = knn_fallback(a, b, empty_matches).toPandas()
+        assert len(got) == 1
+        # true nearest by planar 3857 distance is ov/y (-77.5, 38.7)
+        assert got.iloc[0]["overture_id"] == "ov/y"
