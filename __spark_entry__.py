@@ -666,11 +666,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT u.osm_id, b.id AS overture_id, {dist_ab} AS dist,
                      row_number() OVER (
                        PARTITION BY u.osm_id
-                       ORDER BY round({dist_ab} * 1000), b.id
+                       ORDER BY {X.sql_rint(f'({dist_ab}) * 1000')}, b.id
                      ) AS rn
               FROM unmatched u CROSS JOIN layer_b b
             )
-            SELECT osm_id, overture_id, round(dist * 10) / 10 AS distance_m
+            SELECT osm_id, overture_id, {X.sql_round1('dist')} AS distance_m
             FROM cand WHERE rn = 1
         """,
         "tile_counts_z12": f"""

@@ -289,7 +289,7 @@ pairs2 AS (
 ),
 matches2 AS (
   SELECT osm_id, overture_id, lon, lat,
-         round(dist * 10) / 10 AS distance_m, 1.0 AS similarity
+         {X.sql_round1('dist')} AS distance_m, 1.0 AS similarity
   FROM pairs2 WHERE dist <= 100.0
 )"""
 
@@ -321,7 +321,7 @@ pairs AS (
 ),
 matches AS (
   SELECT osm_id, overture_id, lon, lat,
-         round(dist * 10) / 10 AS distance_m, similarity
+         {X.sql_round1('dist')} AS distance_m, similarity
   FROM pairs
   WHERE dist <= 100.0 AND similarity >= 0.6
     AND (a_hn IS NULL OR b_hn IS NULL OR a_hn = b_hn)

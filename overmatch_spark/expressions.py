@@ -93,6 +93,25 @@ def round1(d: Column) -> Column:
     return F.rint(d * F.lit(10.0)) / F.lit(10.0)
 
 
+def sql_rint(x: str) -> str:
+    """DuckDB expression equal to numpy/JVM rint (round half to EVEN)
+    for any double — DuckDB's round() is half away from zero, which
+    diverges exactly on .5 fractions. floor+parity handles the .5
+    case; abs() keeps the parity correction on the even side for
+    negatives too (floor(-2.5) = -3, odd -> -3 + 1 = -2 = rint)."""
+    f = f"floor({x})"
+    return (
+        f"(CASE WHEN ({x}) - {f} = 0.5 "
+        f"THEN {f} + abs(CAST({f} AS BIGINT) % 2) "
+        f"ELSE round({x}) END)"
+    )
+
+
+def sql_round1(d: str) -> str:
+    """DuckDB twin of round1 (half-even on the x10-scaled double)."""
+    return f"({sql_rint(f'({d}) * 10.0')} / 10.0)"
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical Web-Mercator grid cells (join keys — SURVEY.md J1/J2)
 # ---------------------------------------------------------------------------

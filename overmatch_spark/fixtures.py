@@ -81,14 +81,16 @@ def make_images(n: int = 2000, with_bytes: bool = True) -> pd.DataFrame:
     )
 
 
-def _base_coords(ph: np.ndarray, i: np.ndarray):
-    """phash bits -> lon/lat in the bbox; every 5th row lands in one
-    ~150 m hot cell (controlled skew, FIXTURES.md §2a)."""
+def _base_coords(ph: np.ndarray):
+    """phash bits -> lon/lat in the bbox; ~1/5 of rows (selected by a
+    STABLE per-row hash bit-field, never a positional index — so the
+    derivation is invariant to Arrow batch boundaries / partitioning)
+    land in one ~150 m hot cell (controlled skew, FIXTURES.md §2a)."""
     u = ((ph >> 2) & 0xFFFFF).astype(np.float64) / float(0xFFFFF)
     v = ((ph >> 22) & 0xFFFFF).astype(np.float64) / float(0xFFFFF)
     lon = BBOX[0] + (BBOX[2] - BBOX[0]) * u
     lat = BBOX[1] + (BBOX[3] - BBOX[1]) * v
-    hot = (i % 5) == 0
+    hot = (ph >> np.uint64(50)) % np.uint64(5) == np.uint64(0)
     # ~120 m jitter inside the hot cell
     lon = np.where(hot, HOT_LON + (u - 0.5) * 0.0012, lon)
     lat = np.where(hot, HOT_LAT + (v - 0.5) * 0.0009, lat)
@@ -98,8 +100,7 @@ def _base_coords(ph: np.ndarray, i: np.ndarray):
 def derive_layer_a(images: pd.DataFrame) -> pd.DataFrame:
     """OSM-role layer (FIXTURES.md §2a)."""
     ph = images["phash"].to_numpy().astype(np.uint64)
-    i = np.arange(len(images), dtype=np.int64)
-    lon, lat = _base_coords(ph, i)
+    lon, lat = _base_coords(ph)
     osm_id = [f"node/{int(p) & 0x7FFFFFFF}" for p in ph]
     # ~5% null/empty names (must produce no matches)
     name = np.where(

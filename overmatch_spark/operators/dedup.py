@@ -118,11 +118,16 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
-    banded = base.select(
+    # Candidate generation carries ONLY (band, key, doc_id): the
+    # shingle arrays must NOT ride the band self-join — that would
+    # shuffle every doc's shingles `bands` times. They are re-attached
+    # by id-join below, exactly once per side (the same attach_payload
+    # discipline as conflate.py).
+    banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -140,22 +145,21 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    left = banded.select(
-        F.col("band"), F.col("key"),
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"), F.col("key"),
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
-    )
-    cand = (
+    left = banded.select("band", "key", F.col("doc_id").alias("id_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("id_b"))
+    cand_ids = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # exact-Jaccard verification: shingles attached by id, once
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
@@ -228,6 +232,86 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str,
     return sig.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     ).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation: near-dup pairs -> connected components -> survivors
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation; the canonical survivor per component is its smallest
+    id (deterministic, so a DuckDB recursive CTE replays it exactly).
+
+    Returns (doc_id, cluster_id, survivor). If `nodes` (first column =
+    doc id) is given, isolated docs appear as their own singletons —
+    the full survivor table a dedup pipeline feeds downstream
+    (reference precedent for pair->group formation:
+    /root/reference/api/load_matches.py:204-212).
+
+    Scale: each round is one (node)-keyed shuffle of label pairs and
+    converges in O(component diameter) rounds — near-dup components
+    are shallow (stars/cliques around a template), so 2-3 rounds in
+    practice; the loop exits as soon as a round changes nothing. For
+    adversarially deep graphs the alternating star contraction
+    (large-star/small-star, O(log n) rounds) slots into this same
+    loop shape.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    lab = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nb = (
+            sym.join(
+                lab.select(F.col("node").alias("dst"), F.col("label")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            lab.join(nb.select(F.col("src").alias("node"), "nmin"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    out = lab.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(nodes.columns[0]).alias("doc_id"))
+        out = all_nodes.join(out, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    return out.withColumn("survivor", F.col("doc_id") == F.col("cluster_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Partitioned, atomically-committed seen-state store (K5/D2 at scale).
+
+The reference's store is DynamoDB: an upsert touches ONLY the items in
+the batch (/root/reference/api/db.py:54-91). The round-1 fallback
+rewrote the whole parquet store per merge — O(store x batches). This
+store matches the reference's cost model:
+
+  - rows are hash-bucketed by ``pmod(xxhash64(element_id), n_buckets)``;
+  - a merge rewrites ONLY the buckets the batch touches (an
+    overwrite-by-filter emulation of Iceberg's MERGE INTO);
+  - commits are atomic: new bucket versions are written to fresh
+    directories, then a single manifest JSON is swapped in via
+    ``os.replace`` (the POSIX-atomic rename) — a crash mid-merge
+    leaves the previous manifest pointing at the previous data, so no
+    history is ever lost (unlike an in-place overwrite);
+  - untouched buckets' files are BYTE-IDENTICAL across merges
+    (pytest-verified), which is what makes incremental replication /
+    caching of the store possible at 100 TB.
+
+Re-applying the same batch is idempotent (min/max upsert), so a
+streaming replay after a crash between manifest-commit and
+checkpoint-commit converges to the same state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from overmatch_spark.operators.seen import upsert_seen
+
+_SCHEMA = "element_id string, first_seen long, last_seen long"
+MANIFEST = "_MANIFEST.json"
+
+
+def bucket_of(element_id, n_buckets: int):
+    return F.pmod(F.xxhash64(element_id), F.lit(n_buckets)).cast("int")
+
+
+class PartitionedSeenStore:
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 n_buckets: int = 32):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.n_buckets = n_buckets
+        os.makedirs(store_dir, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.store_dir, MANIFEST)
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"version": 0, "n_buckets": self.n_buckets, "buckets": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())  # the atomic commit point
+
+    # -- reads -------------------------------------------------------------
+    def _bucket_paths(self, manifest: dict, buckets=None) -> list[str]:
+        items = manifest["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, v) for b, v in items if b in want]
+        return [os.path.join(self.store_dir, rel) for _, rel in items]
+
+    def read(self, buckets=None) -> DataFrame:
+        """The current committed state (optionally only some buckets)."""
+        paths = self._bucket_paths(self.manifest(), buckets)
+        if not paths:
+            return self.spark.createDataFrame([], _SCHEMA)
+        return self.spark.read.schema(_SCHEMA).parquet(*paths)
+
+    # -- merge -------------------------------------------------------------
+    def merge_batch(self, batch: DataFrame) -> list[int]:
+        """MERGE a batch(element_id, seen_at) into the store, rewriting
+        only the touched buckets. Returns the touched bucket ids."""
+        b = batch.select("element_id", "seen_at").withColumn(
+            "bucket", bucket_of(F.col("element_id"), self.n_buckets)
+        ).persist()
+        touched = sorted(
+            r["bucket"] for r in b.select("bucket").distinct().collect()
+        )
+        if not touched:
+            b.unpersist()
+            return []
+
+        manifest = self.manifest()
+        version = manifest["version"] + 1
+        vdir = f"v{version:06d}"
+        out_path = os.path.join(self.store_dir, vdir)
+
+        existing = self.read(buckets=touched)
+        merged = upsert_seen(existing, b.drop("bucket")).withColumn(
+            "bucket", bucket_of(F.col("element_id"), self.n_buckets)
+        )
+        # one writer task per touched bucket: the store stays
+        # bucket-partitioned on disk without a bucket=... directory scan
+        merged.repartition(len(touched), "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(out_path)
+        b.unpersist()
+
+        for t in touched:
+            manifest["buckets"][str(t)] = os.path.join(vdir, f"bucket={t}")
+        manifest["version"] = version
+        self._commit(manifest)
+        self._gc(manifest)
+        return touched
+
+    # -- maintenance ---------------------------------------------------------
+    def _gc(self, manifest: dict) -> None:
+        """Drop version directories no committed bucket points into.
+        Runs AFTER commit, so a crash here at worst leaks a directory."""
+        live = {rel.split(os.sep)[0] for rel in manifest["buckets"].values()}
+        for entry in os.listdir(self.store_dir):
+            if entry.startswith("v") and entry not in live:
+                full = os.path.join(self.store_dir, entry)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)

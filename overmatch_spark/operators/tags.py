@@ -61,25 +61,37 @@ CATEGORY_TO_TAGS = {
     "unknown": [],
 }
 
-_URL_RE = r"^([^/]*//)?([^/]*)(/.*)?$"
-
-
 # ---------------------------------------------------------------------------
-# F1 — lowercase the domain only, preserve protocol & path case
+# F1 — lowercase the domain only, preserve protocol & path case.
+# Mirrors the reference's split semantics EXACTLY (match.py:19-33):
+# split at the FIRST '//' anywhere (protocol = everything up to and
+# including it — the LAZY `.*?//` finds the first occurrence even when
+# a '/' precedes it), partition the remainder at its first '/',
+# lowercase the domain, and drop a bare trailing '/' (the reference's
+# empty path contributes nothing: path group == "/" -> dropped).
+# Kept as ONE regex applied 3x so huge synthesized URL expressions
+# stay under janino's 64KB codegen method limit.
 # ---------------------------------------------------------------------------
+
+_URL_RE = r"^(.*?//)?([^/]*)(/.*)?$"
+
 
 def lowercase_url(url: Column) -> Column:
     proto = F.regexp_extract(url, _URL_RE, 1)
     domain = F.lower(F.regexp_extract(url, _URL_RE, 2))
     path = F.regexp_extract(url, _URL_RE, 3)
-    return F.concat(proto, domain, path)
+    return F.concat(
+        proto, domain, F.when(path == "/", F.lit("")).otherwise(path)
+    )
 
 
 def sql_lowercase_url(url: str) -> str:
+    pat = _URL_RE
+    path = f"coalesce(regexp_extract({url}, '{pat}', 3), '')"
     return (
-        f"concat(coalesce(regexp_extract({url}, '{_URL_RE}', 1), ''), "
-        f"lower(coalesce(regexp_extract({url}, '{_URL_RE}', 2), '')), "
-        f"coalesce(regexp_extract({url}, '{_URL_RE}', 3), ''))"
+        f"concat(coalesce(regexp_extract({url}, '{pat}', 1), ''), "
+        f"lower(coalesce(regexp_extract({url}, '{pat}', 2), '')), "
+        f"CASE WHEN {path} = '/' THEN '' ELSE {path} END)"
     )
 
 

@@ -16,14 +16,61 @@ from pyspark.sql import functions as F
 from overmatch_spark import expressions as X
 
 
-def assign_match_ids(matches: DataFrame) -> DataFrame:
+def assign_match_ids(matches: DataFrame,
+                     num_partitions: int | None = None) -> DataFrame:
     """W7: stable sequential feature ids (the reference uses JSONL
     line numbers — enrich_matches_with_dynamodb.py:294,315). Stable
-    key = (osm_id, overture_id); row_number over a global sort, NOT
-    monotonically_increasing_id (which is partition-layout dependent
-    and would break exact tile-assignment equality across runs)."""
-    w = Window.orderBy("osm_id", "overture_id")
-    return matches.withColumn("match_id", F.row_number().over(w).cast("long"))
+    key = (osm_id, overture_id).
+
+    Width-proportional two-phase plan (NOT a global-sort Window, which
+    funnels every row through ONE task): range-partition on the key,
+    sort within partitions, then add per-partition offsets computed
+    from a tiny per-partition count pass (the zipWithIndex pattern).
+    The local index comes from monotonically_increasing_id's low 33
+    bits — safe HERE because the layout is pinned: the partitioning is
+    range-based on the (unique) key, rows are sorted within each
+    partition, and the DataFrame is persisted so the offset pass and
+    the id pass read the same physical partitions. Output ids are
+    identical to row_number() over a global (osm_id, overture_id)
+    sort (property-tested)."""
+    keys = ["osm_id", "overture_id"]
+    n = num_partitions or matches.sparkSession.sparkContext.defaultParallelism
+    part = (
+        matches.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .persist()
+    )
+    with_mid = (
+        part.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33))
+        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .drop("_mid")
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in with_mid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    if not counts:  # empty input: no rows to id
+        return with_mid.withColumn(
+            "match_id", F.lit(None).cast("long")
+        ).drop("_pid", "_local")
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(p)).cast("long") for p, _ in counts]),
+            F.array(*[F.lit(int(offsets[p])).cast("long") for p, _ in counts]),
+        ),
+        F.col("_pid"),
+    )
+    return (
+        with_mid.withColumn(
+            "match_id", (off + F.col("_local") + F.lit(1)).cast("long")
+        )
+        .drop("_pid", "_local")
+    )
 
 
 def assign_tiles(matches: DataFrame, zooms=(10, 12, 14)) -> DataFrame:

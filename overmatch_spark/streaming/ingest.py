@@ -14,20 +14,22 @@ re-running the job picks up only NEW files (exactly-once via the
 streaming checkpoint), which is the same contract as the reference's
 --skip-existing resume but handled by the engine.
 
-At scale the parquet seen-store becomes an Iceberg table and the
-foreachBatch body becomes MERGE INTO; windowed/watermarked aggs and
-applyInPandasWithState slot in here if event-time semantics are ever
-needed (none exist in the reference).
+The store is the PartitionedSeenStore (operators/seen_store.py): each
+micro-batch rewrites ONLY the hash buckets it touches and commits via
+an atomic manifest swap — O(batch) per batch like the reference's
+DynamoDB upsert (api/db.py:54-91), crash-safe (the previous manifest
+survives any mid-merge failure), and idempotent on checkpoint replay
+(min/max upsert). With Iceberg the merge body becomes MERGE INTO;
+windowed/watermarked aggs and applyInPandasWithState slot in here if
+event-time semantics are ever needed (none exist in the reference).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from overmatch_spark.operators.seen import upsert_seen
+from overmatch_spark.operators.seen_store import PartitionedSeenStore
 
 
 def run_seen_ingest(
@@ -36,6 +38,7 @@ def run_seen_ingest(
     store_dir: str,
     checkpoint_dir: str,
     schema: str = "element_id string, seen_at long",
+    n_buckets: int = 32,
 ) -> None:
     """Drain all available batch files from input_dir, merging each
     micro-batch into the seen-state store. Safe to re-run: processed
@@ -45,23 +48,10 @@ def run_seen_ingest(
         .option("maxFilesPerTrigger", 4)
         .json(input_dir)
     )
+    store = PartitionedSeenStore(spark, store_dir, n_buckets=n_buckets)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        spark_ = batch.sparkSession
-        if os.path.isdir(store_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(store_dir)
-        ):
-            seen = spark_.read.parquet(store_dir)
-        else:
-            seen = spark_.createDataFrame(
-                [], "element_id string, first_seen long, last_seen long"
-            )
-        merged = upsert_seen(seen, batch.select("element_id", "seen_at"))
-        # write-then-swap keeps the store readable during the job;
-        # with Iceberg this whole body is a single MERGE INTO
-        tmp = store_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark_.read.parquet(tmp).write.mode("overwrite").parquet(store_dir)
+        store.merge_batch(batch.select("element_id", "seen_at"))
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -86,12 +86,15 @@ class TestStreamingIngest:
         store = str(tmp_path / "store")
         ckpt = str(tmp_path / "ckpt")
 
+        from overmatch_spark.operators.seen_store import PartitionedSeenStore
+
         (inp / "b1.json").write_text(
             '{"element_id": "n1", "seen_at": 100}\n'
             '{"element_id": "n2", "seen_at": 150}\n'
         )
         run_seen_ingest(spark, str(inp), store, ckpt)
-        got = spark.read.parquet(store).toPandas().set_index("element_id")
+        st = PartitionedSeenStore(spark, store)
+        got = st.read().toPandas().set_index("element_id")
         assert got.loc["n1", "first_seen"] == 100
 
         # second file arrives: n1 touched again -> first_seen immutable,
@@ -101,11 +104,100 @@ class TestStreamingIngest:
             '{"element_id": "n3", "seen_at": 50}\n'
         )
         run_seen_ingest(spark, str(inp), store, ckpt)
-        got = spark.read.parquet(store).toPandas().set_index("element_id")
+        got = st.read().toPandas().set_index("element_id")
         assert len(got) == 3
         assert got.loc["n1", "first_seen"] == 100
         assert got.loc["n1", "last_seen"] == 300
         assert got.loc["n3", "first_seen"] == 50
+
+    def test_untouched_buckets_byte_identical(self, spark, tmp_path):
+        """An incremental merge must leave every untouched bucket's
+        files byte-for-byte identical (the overwrite-by-filter
+        contract; mirrors the reference's per-item DynamoDB upsert
+        cost model, api/db.py:54-91)."""
+        import hashlib
+
+        import pandas as pd
+
+        from overmatch_spark.operators.seen_store import PartitionedSeenStore
+
+        store = PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=8)
+        base = spark.createDataFrame(
+            pd.DataFrame(
+                {"element_id": [f"n{i}" for i in range(200)],
+                 "seen_at": [100 + i for i in range(200)]}
+            )
+        )
+        store.merge_batch(base)
+        man1 = store.manifest()
+        assert len(man1["buckets"]) == 8
+
+        def bucket_digest(bucket_rel):
+            h = hashlib.md5()
+            d = os.path.join(store.store_dir, bucket_rel)
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    h.update(open(os.path.join(d, fn), "rb").read())
+            return h.hexdigest()
+
+        digests = {b: bucket_digest(rel) for b, rel in man1["buckets"].items()}
+
+        # a one-element batch touches exactly one bucket
+        touched = store.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["n7"], "seen_at": [9999]})
+            )
+        )
+        assert len(touched) == 1
+        man2 = store.manifest()
+        for b, rel in man2["buckets"].items():
+            if int(b) != touched[0]:
+                assert rel == man1["buckets"][b], f"bucket {b} rewritten"
+                assert bucket_digest(rel) == digests[b]
+        # the merge itself is correct
+        got = store.read().toPandas().set_index("element_id")
+        assert got.loc["n7", "last_seen"] == 9999
+        assert got.loc["n7", "first_seen"] == 107
+        assert len(got) == 200
+
+    def test_store_commit_is_atomic(self, spark, tmp_path):
+        """A crash between data-write and manifest-commit must leave
+        the previous committed state fully readable."""
+        import pandas as pd
+
+        from overmatch_spark.operators import seen_store as ss
+
+        store = ss.PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=4)
+        store.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["a", "b"], "seen_at": [1, 2]})
+            )
+        )
+        before = store.read().toPandas().sort_values("element_id")
+
+        # simulate a crash: data for v2 written, manifest never swapped
+        crash = {"flag": False}
+        orig = ss.PartitionedSeenStore._commit
+
+        def exploding_commit(self, manifest):
+            crash["flag"] = True
+            raise RuntimeError("simulated crash before manifest swap")
+
+        ss.PartitionedSeenStore._commit = exploding_commit
+        try:
+            with pytest.raises(RuntimeError):
+                store.merge_batch(
+                    spark.createDataFrame(
+                        pd.DataFrame({"element_id": ["a"], "seen_at": [50]})
+                    )
+                )
+        finally:
+            ss.PartitionedSeenStore._commit = orig
+        assert crash["flag"]
+        after = store.read().toPandas().sort_values("element_id")
+        pd.testing.assert_frame_equal(
+            before.reset_index(drop=True), after.reset_index(drop=True)
+        )
 
     def test_windowed_event_counts_batch_parity(self, spark):
         from overmatch_spark.streaming.ingest import windowed_event_counts

@@ -176,6 +176,60 @@ class TestDedupKernels:
         assert got == pytest.approx(1 / np.sqrt(2), rel=1e-12)
 
 
+class TestMatchIds:
+    def test_ids_equal_global_row_number(self, spark):
+        """W7: the width-proportional two-phase plan must emit ids
+        IDENTICAL to row_number() over a global (osm_id, overture_id)
+        sort — and its physical plan must contain no single-partition
+        Window (audited in scripts/audit_plans.py)."""
+        from pyspark.sql import Window, functions as F
+
+        from overmatch_spark.operators.tiles import assign_match_ids
+
+        n = 5000
+        df = spark.range(n).select(
+            F.concat(F.lit("node/"), (F.col("id") * 7919 % 997).cast("string"))
+            .alias("osm_id"),
+            F.concat(F.lit("ov/"), F.col("id").cast("string")).alias("overture_id"),
+            (F.col("id") % 360).cast("double").alias("lon"),
+            (F.col("id") % 170 - 85).cast("double").alias("lat"),
+        ).repartition(16)
+
+        got = assign_match_ids(df, num_partitions=8).toPandas()
+        w = Window.orderBy("osm_id", "overture_id")
+        want = df.withColumn(
+            "match_id", F.row_number().over(w).cast("long")
+        ).toPandas()
+        key = ["osm_id", "overture_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = want.sort_values(key).reset_index(drop=True)
+        assert (g["match_id"] == e["match_id"]).all()
+        assert g["match_id"].min() == 1 and g["match_id"].max() == n
+
+
+class TestDedupClusters:
+    def test_components_and_survivors(self, spark):
+        from overmatch_spark.operators.dedup import dedup_clusters
+
+        # components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, isolated 7,8
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 3, 5], "id_b": [2, 3, 9, 6]})
+        )
+        nodes = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 5, 6, 7, 8, 9]})
+        )
+        got = (
+            dedup_clusters(pairs, nodes=nodes)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert got.loc[[1, 2, 3, 9], "cluster_id"].tolist() == [1, 1, 1, 1]
+        assert got.loc[[5, 6], "cluster_id"].tolist() == [5, 5]
+        assert got.loc[7, "cluster_id"] == 7 and got.loc[8, "cluster_id"] == 8
+        assert got["survivor"].sum() == 4  # 1, 5, 7, 8
+
+
 class TestTags:
     def test_website_chain(self, spark):
         from pyspark.sql import functions as F
@@ -192,6 +246,29 @@ class TestTags:
         assert got[0] == "HTTP://www.foo.com/Bar?keep=1"
         assert got[1] is None
         assert got[2] == "https://ok.com/path"
+
+    def test_lowercase_url_reference_edge_semantics(self, spark):
+        """Pin the reference's exact split behavior (match.py:19-33):
+        first-'//'-anywhere protocol split, bare-trailing-slash drop,
+        deeper trailing slashes kept, protocol case preserved."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.tags import lowercase_url
+
+        cases = [
+            ("http://X.com/", "http://x.com"),        # bare '/' dropped
+            ("http://X.com//", "http://x.com//"),     # path '/' kept
+            ("http://X.com/Path/", "http://x.com/Path/"),
+            ("a/b//C.com/Q", "a/b//c.com/Q"),         # '//' after a '/'
+            ("X.com/Path", "x.com/Path"),             # no protocol
+            ("HTTPS://WWW.Ex.COM", "HTTPS://www.ex.com"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame([c[0] for c in cases], columns=["u"])
+        )
+        got = df.select(lowercase_url(F.col("u")).alias("c")).toPandas()["c"]
+        for (_, want), g in zip(cases, got):
+            assert g == want, f"{g!r} != {want!r}"
 
     def test_phone_chain(self, spark):
         from pyspark.sql import functions as F
