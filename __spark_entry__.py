@@ -583,6 +583,425 @@ def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-2 queries: io formats, serving/resume joins, nested structs,
+# wide projection, dedup clustering, ANN multi-probe, error budget
+# ---------------------------------------------------------------------------
+
+def q_geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: GeoJSON Feature-string sink rendering, one per match
+    (enrich_matches_with_dynamodb.py:398-404)."""
+    from overmatch_spark.operators.io import geojson_point_feature
+
+    m = _matches_df(spark, sf_dir)
+    key = F.split(F.col("overture_id"), "/").getItem(1).cast("long")
+    props = F.concat(F.lit('{"osm_id":"'), F.col("osm_id"), F.lit('"}'))
+    return m.select(
+        "osm_id",
+        geojson_point_feature(F.col("lon"), F.col("lat"), key, props).alias(
+            "feature"
+        ),
+    )
+
+
+def q_osmchange_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: osmChange <modify> XML assembly (xml.ts:5-84), tags in
+    sorted key order."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.structs import osm_change_xml
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    tags = F.map_from_arrays(
+        F.array(F.lit("amenity"), F.lit("name")),
+        F.array(
+            F.element_at(
+                F.array(*[F.lit(x) for x in _TAG_CATS]), (key % 4 + 1).cast("int")
+            ),
+            demo._vocab_name(key),
+        ),
+    )
+    xml = osm_change_xml(
+        key, key % 9 + 1, key % 170 - 85, key % 360 - 180, tags
+    )
+    return c.select(key.alias("id"), xml.alias("xml"))
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/K1: JSONL sink + malformed-tolerant scan round-trip through
+    a real directory (match.py:494-496, api/load_matches.py:21-41)."""
+    import os
+    import tempfile
+
+    from overmatch_spark import demo
+    from overmatch_spark.operators.io import read_jsonl, write_jsonl
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    df = c.select(
+        key.alias("id"),
+        F.when(key % 11 == 3, F.lit(None)).otherwise(demo._vocab_name(key)).alias(
+            "name"
+        ),
+        (key * 17 % 1000).alias("val"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "overmatch_jsonl_roundtrip")
+    write_jsonl(df, path)
+    return read_jsonl(spark, path, schema="id long, name string, val long")
+
+
+def q_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: GeoJSON FeatureCollection scan (multiLine JSON ->
+    explode; the reference loads via geopandas at match.py:89-110).
+    The FeatureCollection file is synthesized deterministically from
+    the nation table."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from overmatch_spark.operators.io import read_geojson_features
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    feats = [
+        {
+            "type": "Feature",
+            "properties": {"@id": f"node/{k}", "name": str(nm)},
+            "geometry": {
+                "type": "Point",
+                "coordinates": [k % 360 - 180, k % 170 - 85],
+            },
+        }
+        for k, nm in zip(t["n_nationkey"], t["n_name"])
+    ]
+    path = os.path.join(tempfile.gettempdir(), "overmatch_fc.geojson")
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    got = read_geojson_features(spark, path, "`@id`: string, name: string")
+    return got.select(
+        F.col("@id").alias("id"),
+        "name",
+        F.col("lon").cast("long").alias("lon"),
+        F.col("lat").cast("long").alias("lat"),
+    )
+
+
+def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: delimited taxonomy scan (get_categories.py:12-39), file
+    synthesized deterministically from the nation table."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from overmatch_spark.operators.io import read_csv_taxonomy
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    d = os.path.join(tempfile.gettempdir(), "overmatch_tax")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "tax.csv"), "w") as f:
+        f.write("code;category;region\n")
+        for k, nm, r in sorted(
+            zip(t["n_nationkey"], t["n_name"], t["n_regionkey"])
+        ):
+            f.write(f"{k};{nm};r{r}\n")
+    tax = read_csv_taxonomy(spark, d)
+    return tax.select(
+        F.col("code").cast("long").alias("code"), "category", "region"
+    )
+
+
+def q_latest_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A5: lexicographic latest-release max
+    (get_latest_overture_release.py:4-10) over derived labels."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.io import latest_release
+
+    o = demo.load(spark, sf_dir, "orders")
+    rel = F.concat(
+        F.lit("2025-"),
+        F.lpad((F.col("o_orderkey") % 12 + 1).cast("string"), 2, "0"),
+        F.lit(".0"),
+    )
+    return latest_release(o.select(rel.alias("release")))
+
+
+def q_probe_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: serving-path point lookup — broadcast-semi-join the request
+    id set against grouped matches (api/main.py:321-367)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.enrich import group_matches, probe_ids
+
+    m = _matches_df(spark, sf_dir)
+    g = group_matches(m).select("osm_id", "match_count")
+    a = demo.spark_layer_a(spark, sf_dir)
+    akey = F.split(F.col("osm_id"), "/").getItem(1).cast("long")
+    ids = a.filter(akey % 7 == 0).select("osm_id")
+    return probe_ids(g, ids)
+
+
+def q_skip_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/D1/D4: resume anti-join — elements whose key already reached
+    the sink are skipped (api/load_matches.py:176-183)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.seen import skip_existing
+
+    m = _matches_df(spark, sf_dir)
+    a = demo.spark_layer_a(spark, sf_dir).select("osm_id")
+    return skip_existing(a, m, "osm_id")
+
+
+def q_auto_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: deterministic auto max-zoom from the match count (the
+    tippecanoe -zg stand-in, operators/tiles.py:auto_max_zoom) as a
+    one-row aggregate."""
+    m = _matches_df(spark, sf_dir)
+    n = F.count("*")
+    z = (
+        F.lit(10)
+        + F.when(n > 1000, 2).otherwise(0)
+        + F.when(n > 100_000, 2).otherwise(0)
+        + F.when(n > 10_000_000, 2).otherwise(0)
+    )
+    return m.agg(z.cast("long").alias("max_zoom"))
+
+
+def q_category_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/P10: pinned category->OSM-tag map incl. the
+    missing->'unknown'->empty default, rendered as a sorted k=v
+    string."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.tags import category_tags
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    cat = (
+        F.when(key % 6 == 5, F.lit(None))
+        .when(key % 6 == 4, F.lit("unknown"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(x) for x in _TAG_CATS]), (key % 4 + 1).cast("int")
+            )
+        )
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries(category_tags(cat))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+    return c.select(key.alias("id"), rendered.alias("tags"))
+
+
+def q_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10/F11: names.rules := NULL nested mutate (match.py:269-272),
+    update_time repair inside sources[] (match.py:278-284), struct
+    flatten (enrich_...py:108-126)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators import structs
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    names = F.struct(
+        demo._vocab_name(key).alias("primary"),
+        F.concat(F.lit("rule-"), key.cast("string")).alias("rules"),
+    )
+    ut = (
+        F.when(key % 3 == 0, F.lit("2025-04-01T00:00:00.000"))
+        .otherwise(F.lit("2025-04-02T12:30:15.000Z"))
+    )
+    sources = F.array(
+        F.struct(F.lit("datasetA").alias("dataset"), ut.alias("update_time")),
+        F.struct(
+            F.lit("datasetB").alias("dataset"),
+            F.lit("2024-01-05T00:00:00.000").alias("update_time"),
+        ),
+    )
+    df = c.select(
+        key.alias("id"),
+        structs.null_rules(names).alias("names"),
+        structs.repair_update_time(sources).alias("sources"),
+    )
+    df = structs.flatten_struct(df, "names")
+    return df.select(
+        "id",
+        "names_primary",
+        "names_rules",
+        F.col("sources")[0]["update_time"].alias("ut0"),
+        F.col("sources")[1]["update_time"].alias("ut1"),
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> survivor table
+    (min-label propagation; deterministic cluster_id = component min)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    )
+    corpus = d.unionByName(trunc)
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", bands=8, rows_per_band=2,
+        jaccard_threshold=0.5,
+    )
+    return dedup_clusters(pairs, nodes=corpus.select("doc_id"))
+
+
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN multi-probe LSH top-5: probes also search the 2 buckets
+    reached by flipping their lowest-|margin| sign bits."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.ann import multiprobe_topk
+
+    e = demo.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return multiprobe_topk(
+        e, probes, "embedding", "vec_id", k=5, num_planes=6, dim=64, extra=2
+    )
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup retrieval via exact pigeonhole
+    blocking (4 signature blocks; any pair within hamming 3 shares a
+    block) over a corpus with injected one-word-append variants."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import simhash_hamming_pairs
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    var = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    corpus = d.unionByName(var)
+    return simhash_hamming_pairs(corpus, "text", "doc_id", k=3)
+
+
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: error-budget run — failing rows are dropped and counted as
+    data (exactly-once), the run aborts only over budget
+    (match.py:464-469)."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.errors import run_with_error_budget
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id")
+
+    def proc(pdf):
+        bad = pdf["doc_id"] % 97 == 0
+        out = pdf[~bad][["doc_id"]].copy()
+        out["status"] = "ok"
+        return out, int(bad.sum())
+
+    res, _ = run_with_error_budget(
+        spark, d, proc, "doc_id long, status string", max_errors=10**9
+    )
+    return res
+
+
+def q_wide_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the reference's 15-column wide projection with ::JSON casts
+    and the full filter chain — bbox prefilter, category IN-list,
+    addresses[0].country, operating_status, confidence threshold,
+    boundary PIP (build_query.py:59-105)."""
+    from overmatch_spark import demo
+    from overmatch_spark import expressions as X
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    xa, ya = demo._grid_xy(key)
+    xi = xa.cast("long")
+    yi = ya.cast("long")
+    cat = F.element_at(
+        F.array(*[F.lit(x) for x in _TAG_CATS]), (key % 4 + 1).cast("int")
+    )
+    j = {"ignoreNullFields": "false"}
+    places = c.select(
+        key.alias("key"),
+        xa.alias("xa"),
+        ya.alias("ya"),
+        F.concat(F.lit("pl/"), key.cast("string")).alias("id"),
+        (key % 10).cast("long").alias("version"),
+        F.concat(
+            F.lit("POINT("), xi.cast("string"), F.lit(" "), yi.cast("string"),
+            F.lit(")"),
+        ).alias("geometry"),
+        F.struct(
+            (xi - 5).alias("xmin"), (yi - 5).alias("ymin"),
+            (xi + 5).alias("xmax"), (yi + 5).alias("ymax"),
+        ).alias("bbox"),
+        cat.alias("basic_category"),
+        F.struct(
+            cat.alias("primary"),
+            F.array(F.lit("food"), F.lit("poi")).alias("alternate"),
+        ).alias("categories"),
+        ((key % 1000).cast("double") / 1000.0).alias("confidence"),
+        F.struct(
+            demo._vocab_name(key).alias("primary"),
+            F.lit(None).cast("string").alias("rules"),
+        ).alias("names"),
+        F.array(
+            F.struct(
+                F.concat((key % 900 + 100).cast("string"), F.lit(" Main St"))
+                .alias("freeform"),
+                F.when(key % 5 < 4, F.lit("US")).otherwise(F.lit("CA"))
+                .alias("country"),
+            )
+        ).alias("addresses"),
+        F.array(
+            F.concat(F.lit("https://ex"), key.cast("string"), F.lit(".com"))
+        ).alias("websites"),
+        F.array(F.concat(F.lit("social/"), key.cast("string"))).alias("socials"),
+        F.array(F.concat(F.lit("mail"), key.cast("string"), F.lit("@ex.com")))
+        .alias("emails"),
+        F.array(
+            F.concat(F.lit("+1-202-555-"), (key % 9000 + 1000).cast("string"))
+        ).alias("phones"),
+        F.struct(
+            F.concat(F.lit("brand"), (key % 50).cast("string")).alias("name")
+        ).alias("brand"),
+        F.array(
+            F.struct(
+                F.lit("datasetA").alias("dataset"),
+                F.lit("2025-04-02T12:30:15Z").alias("update_time"),
+            )
+        ).alias("sources"),
+        F.when(key % 10 == 7, F.lit("closed")).otherwise(F.lit("open"))
+        .alias("operating_status"),
+    )
+    filtered = places.filter(
+        (F.col("bbox")["xmin"] > F.lit(demo.X0))
+        & (F.col("bbox")["xmax"] < F.lit(demo.X0 + 200_000))
+        & (F.col("categories")["primary"].isin("restaurant", "cafe"))
+        & (F.col("addresses")[0]["country"] == "US")
+        & (F.col("operating_status") == "open")
+        & (F.col("confidence") >= 0.05)
+        & X.pip(F.col("xa"), F.col("ya"), demo.PIP_POLY)
+    )
+    return filtered.select(
+        "id",
+        "version",
+        "geometry",
+        F.to_json(F.col("bbox"), j).alias("bbox"),
+        "basic_category",
+        F.to_json(F.col("categories"), j).alias("categories"),
+        "confidence",
+        F.to_json(F.col("names"), j).alias("names"),
+        F.to_json(F.col("addresses"), j).alias("addresses"),
+        F.to_json(F.col("websites"), j).alias("websites"),
+        F.to_json(F.col("socials"), j).alias("socials"),
+        F.to_json(F.col("emails"), j).alias("emails"),
+        F.to_json(F.col("phones"), j).alias("phones"),
+        F.to_json(F.col("brand"), j).alias("brand"),
+        F.to_json(F.col("sources"), j).alias("sources"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "conflate_matches": q_conflate_matches,
@@ -612,6 +1031,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,
         "hausdorff": q_hausdorff,
         "tag_diff": q_tag_diff,
+        "geojson_features": q_geojson_features,
+        "osmchange_xml": q_osmchange_xml,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "geojson_scan": q_geojson_scan,
+        "csv_taxonomy": q_csv_taxonomy,
+        "latest_release": q_latest_release,
+        "probe_lookup": q_probe_lookup,
+        "skip_existing": q_skip_existing,
+        "auto_zoom": q_auto_zoom,
+        "category_tags": q_category_tags,
+        "struct_nested": q_struct_nested,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_hamming": q_simhash_hamming,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "error_budget": q_error_budget,
+        "wide_projection": q_wide_projection,
     }
 
 
@@ -681,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
             FROM matches GROUP BY 1, 2
         """,
         **_oracle_sql_extended(),
+        **_oracle_sql_round2(),
     }
 
 
@@ -825,7 +1261,7 @@ def _oracle_sql_extended() -> dict[str, str]:
 
     sh = dd.sql_shingles("text", 3)
     sig_items = ", ".join(dd.sql_minhash_sig_item("sh", j) for j in range(16))
-    minhash_sql = f"""
+    minhash_cte = f"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
@@ -855,7 +1291,9 @@ def _oracle_sql_extended() -> dict[str, str]:
                       - CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)),
                  9) AS jaccard
           FROM cand JOIN shing a ON a.doc_id = id_a JOIN shing b ON b.doc_id = id_b
-        )
+        )"""
+    minhash_sql = f"""
+        {minhash_cte}
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
     """
 
@@ -1125,4 +1563,269 @@ def _oracle_sql_extended() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_sql,
         "text_stats": text_stats_sql,
         "lang_quality_summary": lang_summary_sql,
+        "dedup_clusters": f"""
+            {minhash_cte.replace("WITH corpus", "WITH RECURSIVE corpus", 1)},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM scored WHERE jaccard >= 0.5
+            ),
+            comp(node, label) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, c.label FROM edges e JOIN comp c ON c.node = e.dst
+            ),
+            labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node)
+            SELECT c.doc_id,
+                   coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+                   coalesce(l.cluster_id, c.doc_id) = c.doc_id AS survivor
+            FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+        """,
+    }
+
+
+def _oracle_sql_round2() -> dict[str, str]:
+    from overmatch_spark import demo
+    from overmatch_spark import expressions as X
+    from overmatch_spark.operators import dedup as dd
+    from overmatch_spark.operators.io import sql_geojson_point_feature
+
+    layers = demo.sql_layers_cte()
+    matches_cte = f"{layers},{demo.SQL_MATCHES}"
+    cats_sql = "[" + ", ".join(f"'{c}'" for c in _TAG_CATS) + "]"
+    syn = "syn AS (SELECT c_custkey AS key FROM customer)"
+    vocab = demo.SQL_VOCAB_NAME
+
+    props_sql = "concat('{\"osm_id\":\"', osm_id, '\"}')"
+    geojson_sql = f"""
+        {matches_cte}
+        SELECT osm_id,
+               {sql_geojson_point_feature(
+                   'lon', 'lat',
+                   "CAST(string_split(overture_id, '/')[2] AS BIGINT)",
+                   props_sql)} AS feature
+        FROM matches
+    """
+
+    osmchange_sql = f"""
+        WITH {syn}
+        SELECT key AS id,
+          concat('<osmChange version="0.6"><modify><node id="',
+                 CAST(key AS VARCHAR),
+                 '" version="', CAST(key % 9 + 1 AS VARCHAR),
+                 '" lat="', CAST(key % 170 - 85 AS VARCHAR),
+                 '" lon="', CAST(key % 360 - 180 AS VARCHAR), '">',
+                 '<tag k="amenity" v="',
+                 {cats_sql}[CAST(key % 4 AS INTEGER) + 1], '"/>',
+                 '<tag k="name" v="', {vocab}, '"/>',
+                 '</node></modify></osmChange>') AS xml
+        FROM syn
+    """
+
+    jsonl_sql = f"""
+        WITH {syn}
+        SELECT key AS id,
+               CASE WHEN key % 11 = 3 THEN NULL ELSE {vocab} END AS name,
+               CAST(key * 17 % 1000 AS BIGINT) AS val
+        FROM syn
+    """
+
+    geojson_scan_sql = """
+        SELECT concat('node/', CAST(n_nationkey AS VARCHAR)) AS id,
+               n_name AS name,
+               CAST(n_nationkey % 360 - 180 AS BIGINT) AS lon,
+               CAST(n_nationkey % 170 - 85 AS BIGINT) AS lat
+        FROM nation
+    """
+
+    csv_sql = """
+        SELECT CAST(n_nationkey AS BIGINT) AS code,
+               n_name AS category,
+               concat('r', CAST(n_regionkey AS VARCHAR)) AS region
+        FROM nation
+    """
+
+    latest_sql = """
+        SELECT max(concat('2025-',
+                   lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0'),
+                   '.0')) AS latest
+        FROM orders
+    """
+
+    probe_lookup_sql = f"""
+        {matches_cte}
+        SELECT osm_id, CAST(count(*) AS BIGINT) AS match_count
+        FROM matches
+        WHERE osm_id IN (SELECT osm_id FROM layer_a WHERE key % 7 = 0)
+        GROUP BY osm_id
+    """
+
+    skip_existing_sql = f"""
+        {matches_cte}
+        SELECT osm_id FROM layer_a
+        WHERE osm_id NOT IN (SELECT osm_id FROM matches)
+    """
+
+    auto_zoom_sql = f"""
+        {matches_cte}
+        SELECT CAST(10
+                 + (CASE WHEN count(*) > 1000 THEN 2 ELSE 0 END)
+                 + (CASE WHEN count(*) > 100000 THEN 2 ELSE 0 END)
+                 + (CASE WHEN count(*) > 10000000 THEN 2 ELSE 0 END)
+               AS BIGINT) AS max_zoom
+        FROM matches
+    """
+
+    category_tags_sql = f"""
+        WITH {syn}
+        SELECT key AS id,
+          CASE WHEN key % 6 = 5 OR key % 6 = 4 THEN ''
+               WHEN key % 4 = 0 THEN 'amenity=restaurant'
+               WHEN key % 4 = 1 THEN 'amenity=bar'
+               WHEN key % 4 = 2 THEN 'amenity=cafe;cuisine=coffee_shop'
+               ELSE 'shop=bakery' END AS tags
+        FROM syn
+    """
+
+    struct_nested_sql = f"""
+        WITH {syn}
+        SELECT key AS id,
+               {vocab} AS names_primary,
+               CAST(NULL AS VARCHAR) AS names_rules,
+               CASE WHEN key % 3 = 0 THEN '2025-04-01T00:00:00Z'
+                    ELSE '2025-04-02T12:30:15.000Z' END AS ut0,
+               '2024-01-05T00:00:00Z' AS ut1
+        FROM syn
+    """
+
+    planes6 = dd.hyperplanes(6, 64)
+    bucket6 = dd.sql_embedding_bucket("v", planes6)
+    mp = dd.sql_multiprobe_buckets("v", planes6, 2)
+    cospc = dd.sql_cosine("pb.pv", "c.v")
+    ann_multiprobe_sql = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bk AS (SELECT vec_id, v, {bucket6} AS bucket FROM e),
+        pb AS (
+          SELECT vec_id AS probe_id, v AS pv, unnest({mp}) AS bucket
+          FROM e WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT pb.probe_id, c.vec_id AS cand_id,
+                 round({cospc}, 9) AS cos_sim
+          FROM bk c JOIN pb ON c.bucket = pb.bucket
+          WHERE c.vec_id != pb.probe_id
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+    error_budget_sql = """
+        SELECT doc_id, 'ok' AS status FROM documents WHERE doc_id % 97 != 0
+    """
+
+    sh3 = dd.sql_shingles("text", 3)
+    blocks_case = " ".join(
+        f"WHEN {i} THEN {dd.sql_simhash_block('sig', i, 15, 4)}"
+        for i in range(4)
+    )
+    simhash_hamming_sql = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zq' FROM documents
+        ),
+        shing AS (SELECT doc_id, {sh3} AS sh FROM corpus),
+        toks AS (SELECT doc_id, {dd.sql_token_hashes('sh')} AS th FROM shing),
+        sigs AS (SELECT doc_id, {dd.sql_simhash_from_hashes('th')} AS sig FROM toks),
+        blocks AS (
+          SELECT doc_id, sig, bi,
+                 CASE bi {blocks_case} END AS bv
+          FROM sigs, (SELECT unnest(range(4)) AS bi)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                          l.sig AS sa, r.sig AS sb
+          FROM blocks l JOIN blocks r
+            ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+    from overmatch_spark.demo import GRID_COLS, SPACING, X0, Y0
+
+    wide_syn = f"""
+        syn AS (
+          SELECT c_custkey AS key,
+            CAST({X0} + {SPACING} * (c_custkey % {GRID_COLS})
+                 + ((c_custkey * 7919) % 51 - 25) AS BIGINT) AS xi,
+            CAST({Y0} + {SPACING} * CAST((c_custkey - c_custkey % {GRID_COLS})
+                 / {GRID_COLS} AS BIGINT)
+                 + ((c_custkey * 104729) % 51 - 25) AS BIGINT) AS yi
+          FROM customer
+        )
+    """
+    cat = f"{cats_sql}[CAST(key % 4 AS INTEGER) + 1]"
+    pip = X.sql_pip("CAST(xi AS DOUBLE)", "CAST(yi AS DOUBLE)", demo.PIP_POLY)
+    wide_sql = f"""
+        WITH {wide_syn.strip()}
+        SELECT
+          concat('pl/', CAST(key AS VARCHAR)) AS id,
+          CAST(key % 10 AS BIGINT) AS version,
+          concat('POINT(', CAST(xi AS VARCHAR), ' ', CAST(yi AS VARCHAR), ')')
+            AS geometry,
+          to_json({{'xmin': xi - 5, 'ymin': yi - 5,
+                    'xmax': xi + 5, 'ymax': yi + 5}})::VARCHAR AS bbox,
+          {cat} AS basic_category,
+          to_json({{'primary': {cat}, 'alternate': ['food', 'poi']}})::VARCHAR
+            AS categories,
+          CAST(key % 1000 AS DOUBLE) / 1000.0 AS confidence,
+          to_json({{'primary': {vocab}, 'rules': CAST(NULL AS VARCHAR)}})::VARCHAR
+            AS names,
+          to_json([{{'freeform': concat(CAST(key % 900 + 100 AS VARCHAR), ' Main St'),
+                     'country': CASE WHEN key % 5 < 4 THEN 'US' ELSE 'CA' END}}])::VARCHAR
+            AS addresses,
+          to_json([concat('https://ex', CAST(key AS VARCHAR), '.com')])::VARCHAR
+            AS websites,
+          to_json([concat('social/', CAST(key AS VARCHAR))])::VARCHAR AS socials,
+          to_json([concat('mail', CAST(key AS VARCHAR), '@ex.com')])::VARCHAR
+            AS emails,
+          to_json([concat('+1-202-555-', CAST(key % 9000 + 1000 AS VARCHAR))])::VARCHAR
+            AS phones,
+          to_json({{'name': concat('brand', CAST(key % 50 AS VARCHAR))}})::VARCHAR
+            AS brand,
+          to_json([{{'dataset': 'datasetA',
+                     'update_time': '2025-04-02T12:30:15Z'}}])::VARCHAR AS sources
+        FROM syn
+        WHERE xi - 5 > {X0} AND xi + 5 < {X0 + 200_000}
+          AND {cat} IN ('restaurant', 'cafe')
+          AND (CASE WHEN key % 5 < 4 THEN 'US' ELSE 'CA' END) = 'US'
+          AND (CASE WHEN key % 10 = 7 THEN 'closed' ELSE 'open' END) = 'open'
+          AND CAST(key % 1000 AS DOUBLE) / 1000.0 >= 0.05
+          AND {pip}
+    """
+
+    return {
+        "geojson_features": geojson_sql,
+        "osmchange_xml": osmchange_sql,
+        "jsonl_roundtrip": jsonl_sql,
+        "geojson_scan": geojson_scan_sql,
+        "csv_taxonomy": csv_sql,
+        "latest_release": latest_sql,
+        "probe_lookup": probe_lookup_sql,
+        "skip_existing": skip_existing_sql,
+        "auto_zoom": auto_zoom_sql,
+        "category_tags": category_tags_sql,
+        "struct_nested": struct_nested_sql,
+        "ann_multiprobe_topk": ann_multiprobe_sql,
+        "error_budget": error_budget_sql,
+        "simhash_hamming": simhash_hamming_sql,
+        "wide_projection": wide_sql,
     }

@@ -7,7 +7,11 @@ Headline workload: the conflation engine over layers derived from the
 numbers measure the real cell-join + Arrow-kernel path. A warm-up
 pass runs first (Python-worker pool spin-up and parquet footer reads
 are one-time cluster costs, not workload costs — measured ~18 s for
-32 workers in this sandbox). Results are materialized through Spark's
+32 workers in this sandbox). Each headline query runs TWICE and the
+min is reported: the first execution of a plan shape pays one-time
+JVM JIT + codegen-compile costs (measured 3-6x inflation on this box)
+that amortize to zero on any long-running cluster — steady-state is
+the scale-relevant quantity. Results are materialized through Spark's
 noop sink (full execution, no collect bottleneck).
 """
 
@@ -49,6 +53,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
+    from overmatch_spark import demo
     from overmatch_spark import expressions as X
     from overmatch_spark.operators.conflate import conflate
     from overmatch_spark.operators.knn import knn_fallback
@@ -88,40 +93,79 @@ def main():
 
     times = {}
 
-    t0 = time.time()
-    matches = conflate(a, b)
-    run_noop(matches)
-    times["conflate"] = round(time.time() - t0, 3)
+    def best_of(name, make_df, runs=2):
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            run_noop(make_df())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+
+    best_of("conflate", lambda: conflate(a, b))
 
     # downstream queries reuse a cached match table, as a real
     # pipeline would (compute once, fan out)
     m = conflate(a, b).persist()
     m.count()
 
-    t0 = time.time()
-    run_noop(
-        m.groupBy("osm_id").agg(
+    best_of(
+        "grouped",
+        lambda: m.groupBy("osm_id").agg(
             F.count("*").alias("match_count"), F.min("distance_m").alias("min_dist")
-        )
+        ),
     )
-    times["grouped"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    run_noop(
-        m.select(
+    best_of(
+        "tiles",
+        lambda: m.select(
             X.tile_x(F.col("lon"), 14).alias("tx"),
             X.tile_y(F.col("lat"), 14).alias("ty"),
         )
         .groupBy("tx", "ty")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n")),
     )
-    times["tiles"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    run_noop(knn_fallback(a, b, m))
-    times["knn"] = round(time.time() - t0, 3)
+    best_of("knn", lambda: knn_fallback(a, b, m))
 
     total = round(sum(times.values()), 3)
+
+    # ---- scale row: conflate-only at 8x features (VERDICT r1 #10) ----
+    li8 = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0"))
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .select((F.col("k0") * 8 + F.col("rep")).alias("k"))
+        .repartition(2 * cpus)
+    )
+    a8 = demo.spark_layer_a(spark, sf_dir, None, "k", df=li8)
+    b8 = demo.spark_layer_b(spark, sf_dir, None, "k", df=li8)
+    n8 = n_features * 8
+    t0 = time.time()
+    run_noop(conflate(a8, b8))
+    t8 = round(time.time() - t0, 3)
+
+    # ---- ANN recall@5 vs brute force (multi-probe closes the LSH
+    # recall cliff; VERDICT r1 #6) ----
+    from overmatch_spark.operators.ann import brute_force_topk, lsh_topk, multiprobe_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") < 50)
+    truth = brute_force_topk(e, probes, "embedding", "vec_id", k=5).select(
+        "probe_id", "cand_id"
+    ).persist()
+    n_truth = truth.count()
+
+    def recall(df):
+        hit = df.select("probe_id", "cand_id").join(
+            truth, ["probe_id", "cand_id"], "left_semi"
+        ).count()
+        return round(hit / n_truth, 4)
+
+    recall_lsh = recall(lsh_topk(e, probes, "embedding", "vec_id", k=5))
+    recall_mp = recall(
+        multiprobe_topk(e, probes, "embedding", "vec_id", k=5, extra=2)
+    )
     print(
         json.dumps(
             {
@@ -136,6 +180,13 @@ def main():
                 "throughput_features_per_sec": round(
                     n_features / times["conflate"], 1
                 ),
+                "runs_per_query": 2,
+                "timing": "min of 2 (steady-state; first run pays one-time JIT/codegen)",
+                "conflate_8x_features": n8,
+                "conflate_8x_sec": t8,
+                "conflate_8x_features_per_sec": round(n8 / t8, 1),
+                "ann_recall_at5_lsh": recall_lsh,
+                "ann_recall_at5_multiprobe": recall_mp,
             }
         )
     )

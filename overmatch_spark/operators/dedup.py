@@ -221,6 +221,76 @@ def sql_simhash(sh: str) -> str:
     return sql_simhash_from_hashes(sql_token_hashes(sh))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= k, found
+    EXACTLY via pigeonhole blocking: the 60-bit signature splits into
+    k+1 blocks — any pair within hamming k agrees exactly on at least
+    one block (k flipped bits can dirty at most k blocks). Bucket
+    self-join per (block index, block value), dedup candidate pairs,
+    verify with bit_count(xor) — signatures are single longs, so
+    carrying them through the block join shuffles 8 bytes, not
+    payloads. Returns (id_a, id_b, hamming)."""
+    nblocks = k + 1
+    per = SIMHASH_BITS // nblocks
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(shingles(F.col(text_col), shingle_k)).alias("sig"),
+    )
+    blocks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftrightunsigned(F.col("sig"), i * per)
+                        .bitwiseAND(F.lit((1 << per) - 1))
+                        .alias("bv"),
+                    )
+                    # the last block absorbs the remainder bits
+                    if i < nblocks - 1
+                    else F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftrightunsigned(F.col("sig"), i * per).alias("bv"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    left = blocks.select(
+        "bi", "bv", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    right = blocks.select(
+        "bi", "bv", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    return (
+        left.join(right, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= F.lit(k))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def sql_simhash_block(sig: str, i: int, per: int, nblocks: int) -> str:
+    if i < nblocks - 1:
+        return f"(({sig} >> {i * per}) & {(1 << per) - 1})"
+    return f"({sig} >> {i * per})"
+
+
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   shingle_k: int = 3) -> DataFrame:
     """Group docs by identical simhash; keep lowest id per bucket."""
@@ -386,6 +456,36 @@ def sql_embedding_bucket(vec: str, planes: list[list[int]]) -> str:
         )
         terms.append(f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def sql_multiprobe_buckets(vec: str, planes: list[list[int]],
+                           extra: int) -> str:
+    """DuckDB twin of operators.ann.multiprobe_buckets: list of the
+    base bucket plus `extra` lowest-|margin| single-bit flips. Fold
+    order, sort order (struct field-lexicographic) and tie-break
+    (plane index) match the Spark expression exactly."""
+    dots = []
+    for hp in planes:
+        consts = "[" + ", ".join(f"{float(c)!r}" for c in hp) + "]"
+        dots.append(
+            f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i] * ({consts})[i]), (s, x) -> s + x)"
+        )
+    base = "(" + " + ".join(
+        f"(CASE WHEN ({d}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j, d in enumerate(dots)
+    ) + ")"
+    margins = "[" + ", ".join(
+        f"{{'m': abs({d}), 'j': {j}}}" for j, d in enumerate(dots)
+    ) + "]"
+    powers = "[" + ", ".join(
+        f"CAST({1 << k} AS BIGINT)" for k in range(len(planes))
+    ) + "]"
+    flips = (
+        f"list_transform(list_slice(list_sort({margins}), 1, {extra}), "
+        f"s -> xor({base}, ({powers})[s.j + 1]))"
+    )
+    return f"list_prepend({base}, {flips})"
 
 
 def embedding_near_dups(

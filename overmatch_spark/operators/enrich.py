@@ -161,7 +161,12 @@ def tag_diff(osm_tags: DataFrame, merged: DataFrame) -> DataFrame:
         .when(F.col("osm_value").isNotNull(), "osm_only")
         .otherwise("overture_only"),
     )
-    return classified.orderBy(
+    # W6's ordering contract is PER-ELEMENT presentation order
+    # ("different" rows first, then key order) — sort within hash
+    # partitions of osm_id rather than forcing a global total sort
+    # (which would range-shuffle the whole diff table through a
+    # sampled partitioner at 100x scale for no semantic gain).
+    return classified.repartition("osm_id").sortWithinPartitions(
         "osm_id", F.desc(F.col("status") == "different"), F.asc("key")
     )
 

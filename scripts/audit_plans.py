@@ -30,7 +30,14 @@ def main():
     from overmatch_spark.operators.conflate import conflate
     from overmatch_spark.session import get_spark
 
-    spark = get_spark("plan-audit", cpus=8, shuffle_partitions=8)
+    # autoBroadcastJoinThreshold=-1: at audit scale every table fits a
+    # broadcast, which would hide the SHUFFLE plan shapes that matter
+    # at 100 TB (the band self-join's exchanges). Explicit broadcast()
+    # hints are unaffected.
+    spark = get_spark(
+        "plan-audit", cpus=8, shuffle_partitions=8,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     sf = "/root/testdata/sf0.01"
 
@@ -54,6 +61,20 @@ def main():
     # 3. broadcast variant
     mb = conflate(a, b, broadcast_b=True)
     sections.append(("Conflation join, broadcast build side", grab_plan(mb), None))
+
+    # 4. minhash LSH: the band self-join must NOT shuffle shingle arrays
+    from overmatch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    mh_plan = grab_plan(minhash_lsh_pairs(docs, "text", "doc_id"))
+    sections.append(("MinHash LSH pairs (band join de-payloaded)", mh_plan, None))
+
+    # 5. match-id assignment: no Window at all (the two-phase offset
+    # plan), hence no single-partition global sort
+    from overmatch_spark.operators.tiles import assign_match_ids
+
+    ids_plan = grab_plan(assign_match_ids(m))
+    sections.append(("Stable match-id assignment W7", ids_plan, None))
 
     checks = []
 
@@ -80,6 +101,21 @@ def main():
     bc_plan = sections[2][1]
     check("broadcast hint honored", "BroadcastHashJoin" in bc_plan
           or "BroadcastExchange" in bc_plan)
+    band_inputs = [
+        s
+        for s in re.findall(
+            r"\(\d+\) (?:Exchange|BroadcastExchange)\s*\n"
+            r"Input \[\d+\]: \[([^\]]+)\]",
+            mh_plan,
+        )
+        if "band#" in s and "key#" in s
+    ]
+    check("minhash band exchange present", len(band_inputs) >= 1)
+    check(
+        "minhash band exchange carries ids only (no shingle arrays)",
+        band_inputs and all("sh#" not in s for s in band_inputs),
+    )
+    check("match-id assignment plan has no Window node", "Window" not in ids_plan)
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit\n\n")

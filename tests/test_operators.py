@@ -176,6 +176,63 @@ class TestDedupKernels:
         assert got == pytest.approx(1 / np.sqrt(2), rel=1e-12)
 
 
+class TestKnnAdaptiveCoarse:
+    def test_histogram_budget_escalates_resolution(self, spark):
+        """Phase-2b broadcast guard: a build side spread over far more
+        coarse cells than the histogram budget escalates coarse_res,
+        and the escalation never changes results (vs the numpy spec)."""
+        import numpy as np
+
+        from overmatch_spark import expressions as X
+        from overmatch_spark.operators.knn import _choose_coarse_res, knn_fallback
+        from overmatch_spark.spec import knn_spec
+        from pyspark.sql import functions as F
+
+        def hashpts(n, salt):
+            ks = np.arange(n, dtype=np.int64)
+            hx = ((ks * 2654435761 + salt) % (2**20)) / float(2**20)
+            hy = ((ks * 97003999 + salt * 7 + 13) % (2**20)) / float(2**20)
+            return -179.0 + 358.0 * hx, -80.0 + 160.0 * hy
+
+        import pandas as pd
+
+        blon, blat = hashpts(3000, 5)
+        b_pd = pd.DataFrame(
+            {"id": [f"b/{k}" for k in range(3000)], "lon": blon, "lat": blat}
+        )
+        alon, alat = hashpts(50, 11)
+        a_pd = pd.DataFrame(
+            {
+                "osm_id": [f"node/{k}" for k in range(50)],
+                "name": [f"P{k}" for k in range(50)],
+                "housenumber": [None] * 50,
+                "lon": alon,
+                "lat": alat,
+            }
+        )
+        a = spark.createDataFrame(a_pd)
+        b = spark.createDataFrame(b_pd)
+        empty_matches = spark.createDataFrame([], "osm_id string")
+
+        # globally-spread points occupy >> budget res-13 cells
+        b0 = b.select(
+            X.merc_x(F.col("lon")).alias("bx"), X.merc_y(F.col("lat")).alias("by")
+        )
+        chosen = _choose_coarse_res(b0, 13, max_hist_cells=500)
+        assert chosen < 13
+
+        got = (
+            knn_fallback(a, b, empty_matches, max_hist_cells=500)
+            .toPandas()
+            .sort_values("osm_id")
+            .reset_index(drop=True)
+        )
+        want = knn_spec(a_pd, b_pd, pd.DataFrame({"osm_id": []}))
+        assert got["osm_id"].tolist() == want["osm_id"].tolist()
+        assert got["overture_id"].tolist() == want["overture_id"].tolist()
+        assert np.allclose(got["distance_m"], want["distance_m"], atol=0, rtol=0)
+
+
 class TestMatchIds:
     def test_ids_equal_global_row_number(self, spark):
         """W7: the width-proportional two-phase plan must emit ids
