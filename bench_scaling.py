@@ -90,7 +90,7 @@ warm.write.format("noop").mode("overwrite").save()
 conflate(a, b).write.format("noop").mode("overwrite").save()  # warm run
 n = a.count()
 runs = []
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     conflate(a, b).write.format("noop").mode("overwrite").save()
     runs.append(round(time.time() - t0, 2))

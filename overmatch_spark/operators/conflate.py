@@ -55,16 +55,27 @@ def detect_hot_cells(layer_b: DataFrame, res: int = DEFAULT_RES,
                      threshold: int = 50_000) -> list[int]:
     """Cells whose build-side row count would make a single join task
     a straggler. Cheap pre-pass: groupBy(cell).count() is a partial
-    aggregate — shuffle carries one row per distinct cell."""
-    counts = (
+    aggregate — shuffle carries one row per distinct cell.
+
+    Driver-side list variant (bounded by the threshold); at planetary
+    scale prefer `detect_hot_cells_df` + passing the DataFrame
+    straight to `conflate(hot_cells=...)` so hot-cell ids never
+    transit the driver."""
+    counts = detect_hot_cells_df(layer_b, res, threshold).collect()
+    return [r["cell"] for r in counts]
+
+
+def detect_hot_cells_df(layer_b: DataFrame, res: int = DEFAULT_RES,
+                        threshold: int = 50_000) -> DataFrame:
+    """Hot cells as a (cell)-schema DataFrame — stays distributed;
+    `conflate` broadcast-joins it for salting."""
+    return (
         layer_b.select(X.cell_of(F.col("x"), F.col("y"), res).alias("cell"))
         .groupBy("cell")
         .count()
         .filter(F.col("count") > threshold)
         .select("cell")
-        .collect()
     )
-    return [r["cell"] for r in counts]
 
 
 def conflate(
@@ -118,9 +129,23 @@ def conflate(
         "cell", F.explode(X.cover_cells(F.col("ax"), F.col("ay"), res, buffer_m))
     )
 
-    hot_cells = hot_cells or []
-    if hot_cells and salt_factor > 1:
-        k = F.when(F.col("cell").isin(hot_cells), F.lit(salt_factor)).otherwise(
+    if hot_cells is not None and not isinstance(hot_cells, (list, tuple)):
+        # DataFrame of hot cell ids: broadcast-join the flag so the
+        # hot set never transits the driver (the 100x-scale path)
+        hot = F.broadcast(
+            hot_cells.select(F.col("cell"), F.lit(True).alias("_hot"))
+        )
+        k = F.when(F.coalesce(F.col("_hot"), F.lit(False)), F.lit(salt_factor)
+                   ).otherwise(F.lit(1))
+        b = b.join(hot, "cell", "left").withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("overture_id")), k).cast("int")
+        ).drop("_hot")
+        a = a.join(hot, "cell", "left").withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), k.cast("int") - F.lit(1)))
+        ).drop("_hot")
+        join_keys = ["cell", "salt"]
+    elif hot_cells and salt_factor > 1:
+        k = F.when(F.col("cell").isin(list(hot_cells)), F.lit(salt_factor)).otherwise(
             F.lit(1)
         )
         b = b.withColumn(

@@ -77,6 +77,16 @@ def test_salt_invariance(spark, layers, golden):
     got = conflate(sa, sb, hot_cells=hot, salt_factor=4).toPandas()
     assert_equal_matches(got, golden)
 
+    # DataFrame hot-cell path (broadcast-join salting — hot ids never
+    # transit the driver), at the join's own resolution so the salt
+    # genuinely engages
+    from overmatch_spark.operators.conflate import detect_hot_cells_df
+
+    hot_df = detect_hot_cells_df(bxy, res=17, threshold=20)
+    assert hot_df.count() > 0
+    got2 = conflate(sa, sb, hot_cells=hot_df, salt_factor=4).toPandas()
+    assert_equal_matches(got2, golden)
+
 
 def test_broadcast_invariance(spark, layers, golden):
     sa, sb = _spark_layers(spark, layers)

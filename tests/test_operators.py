@@ -264,7 +264,52 @@ class TestMatchIds:
         assert g["match_id"].min() == 1 and g["match_id"].max() == n
 
 
-class TestDedupClusters:
+class TestSimhashHamming:
+    def test_pigeonhole_blocking_is_exact(self, spark):
+        """simhash_hamming_pairs must find EXACTLY the pairs within
+        hamming k (pigeonhole blocking is lossless for <= k flips):
+        compare to a brute-force all-pairs hamming in pandas."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.dedup import (
+            shingles,
+            simhash,
+            simhash_hamming_pairs,
+        )
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs before noon today ok",
+            "how vexingly quick daft zebras jump over fences at dawn here",
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append((i * 10, t))
+            rows.append((i * 10 + 1, t + " zq"))       # tiny perturbation
+            rows.append((i * 10 + 2, t + " zq xw"))    # slightly bigger
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        k = 6
+        got = (
+            simhash_hamming_pairs(df, "text", "doc_id", k=k)
+            .toPandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        sigs = dict(
+            df.select(
+                "doc_id", simhash(shingles(F.col("text"), 3)).alias("s")
+            ).collect()
+        )
+        want = []
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= k:
+                    want.append((a, b, h))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
     def test_components_and_survivors(self, spark):
         from overmatch_spark.operators.dedup import dedup_clusters
 
