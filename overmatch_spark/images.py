@@ -59,6 +59,71 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"fmt={fmt!r} not decodable in sandbox")
 
 
+# ---------------------------------------------------------------------------
+# Fake media containers (no codec libs in sandbox; the container
+# parsing/seek math below is real demuxer logic — a real decoder slots
+# into the frame/sample decode line only)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"RAWV"  # header: magic + <IIII w h n_frames fps>, raw RGB frames
+AUDIO_MAGIC = b"RAWA"  # header: magic + <II sample_rate n_samples>, int16 PCM
+_V_HEAD = 4 + 16
+_A_HEAD = 4 + 8
+
+
+def encode_video(frames: list[np.ndarray], fps: int = 30) -> bytes:
+    import struct
+
+    h, w, _ = frames[0].shape
+    head = VIDEO_MAGIC + struct.pack("<IIII", w, h, len(frames), fps)
+    return head + b"".join(np.ascontiguousarray(f).tobytes() for f in frames)
+
+
+def video_header(buf: bytes):
+    """(w, h, n_frames, fps). Raises NotImplementedError for real
+    containers (mp4/webm) — no codecs in this sandbox."""
+    import struct
+
+    if bytes(buf[:4]) != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "real video containers (mp4/webm) need a codec library not "
+            "present in this sandbox; only the RAWV fake container decodes"
+        )
+    return struct.unpack_from("<IIII", buf, 4)
+
+
+def video_frame_bytes(buf: bytes, idx: int) -> bytes:
+    """Seek to frame idx WITHOUT touching other frames (the constant-
+    time offset math a real demuxer index provides)."""
+    w, h, n, _fps = video_header(buf)
+    if not 0 <= idx < n:
+        raise IndexError(idx)
+    fsz = w * h * 3
+    start = _V_HEAD + idx * fsz
+    return bytes(buf[start:start + fsz])
+
+
+def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    return AUDIO_MAGIC + struct.pack("<II", rate, s.size) + s.tobytes()
+
+
+def decode_audio(buf: bytes):
+    """(sample_rate, int16 samples). NotImplementedError for real
+    codecs (mp3/opus)."""
+    import struct
+
+    if bytes(buf[:4]) != AUDIO_MAGIC:
+        raise NotImplementedError(
+            "real audio codecs (mp3/opus) are not present in this "
+            "sandbox; only the RAWA fake container decodes"
+        )
+    rate, n = struct.unpack_from("<II", buf, 4)
+    return rate, np.frombuffer(buf, dtype=np.int16, count=n, offset=_A_HEAD)
+
+
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio; inf when identical."""
     err = a.astype(np.float64) - b.astype(np.float64)

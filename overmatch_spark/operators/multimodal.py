@@ -19,7 +19,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -56,6 +55,19 @@ FRAME_SCHEMA = StructType(
         StructField("video_id", StringType()),
         StructField("frame_idx", IntegerType()),
         StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ]
+)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("spectral_centroid_hz", DoubleType()),
+        StructField("peak", DoubleType()),
     ]
 )
 
@@ -112,16 +124,30 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB: video frame sampling. The sandbox has no video codecs —
-    decoding is NotImplemented; the operator shape (binary in, one row
-    per sampled frame out via mapInPandas) is the real contract."""
+    """Video frame sampling: one output row per sampled frame, each a
+    raw RGB image payload ready for extract_features/resize_nearest.
+    The container demux (header parse + constant-time frame seek —
+    untouched frames are never read) is real over the deterministic
+    RAWV fake container (overmatch_spark.images); real mp4/webm decode
+    raises a clearly-marked NotImplementedError in video_header (the
+    sandbox has no codec libraries) and would replace only the
+    frame-decode line."""
+    from overmatch_spark.images import video_frame_bytes, video_header
 
     def gen(batches):
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode requires a codec library not present in "
-                "this sandbox; plug a decoder into sample_frames.gen"
-            )
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                w, h, n, _fps = video_header(r.bytes)
+                for idx in range(0, n, every_n):
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(idx)
+                    out["bytes"].append(video_frame_bytes(r.bytes, idx))
+                    out["w"].append(int(w))
+                    out["h"].append(int(h))
+            yield pd.DataFrame(out)
 
     return videos.select(
         videos["video_id"], videos["bytes"]
@@ -129,19 +155,42 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB: audio feature extraction (same contract as above)."""
-    schema = StructType(
-        [
-            StructField("audio_id", StringType()),
-            StructField("features", ArrayType(DoubleType())),
-        ]
-    )
+    """Audio feature extraction over int16 PCM (RAWA fake container):
+    RMS, zero-crossing rate, FFT spectral centroid, peak — genuine
+    numpy DSP; only the compressed-codec decode (mp3/opus) is the
+    clearly-marked stub inside images.decode_audio."""
+    from overmatch_spark.images import decode_audio
 
     def gen(batches):
-        for _pdf in batches:
-            raise NotImplementedError(
-                "audio decode requires a codec library not present in "
-                "this sandbox"
-            )
+        import pandas as pd
 
-    return audio.select(audio["audio_id"], audio["bytes"]).mapInPandas(gen, schema)
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                rate, pcm = decode_audio(r.bytes)
+                x = pcm.astype(np.float64) / 32768.0
+                rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if x.size > 1
+                    else 0.0
+                )
+                if x.size:
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+                    tot = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                    peak = float(np.abs(x).max())
+                else:
+                    centroid, peak = 0.0, 0.0
+                out["audio_id"].append(r.audio_id)
+                out["sample_rate"].append(int(rate))
+                out["rms"].append(rms)
+                out["zcr"].append(zcr)
+                out["spectral_centroid_hz"].append(centroid)
+                out["peak"].append(peak)
+            yield pd.DataFrame(out)
+
+    return audio.select(audio["audio_id"], audio["bytes"]).mapInPandas(
+        gen, AUDIO_SCHEMA
+    )

@@ -138,6 +138,65 @@ class TestMultimodal:
         assert px.shape == (8, 8, 3)
 
 
+class TestVideoAudio:
+    def test_frame_sampling_exact_frames(self, spark):
+        """sample_frames demuxes the RAWV container: every_n indices,
+        each emitted frame byte-identical to the encoded original."""
+        import pandas as pd
+
+        from overmatch_spark.images import encode_video, gen_pixels
+        from overmatch_spark.operators.multimodal import sample_frames
+
+        frames = {
+            "vid/0": [gen_pixels(f"vid/0#{i}", 8, 6) for i in range(7)],
+            "vid/1": [gen_pixels(f"vid/1#{i}", 4, 4) for i in range(10)],
+        }
+        rows = [(k, encode_video(v, fps=24)) for k, v in frames.items()]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["video_id", "bytes"]))
+        got = sample_frames(df, every_n=3).toPandas()
+        # vid/0: idx 0,3,6 ; vid/1: idx 0,3,6,9
+        key = got.groupby("video_id")["frame_idx"].apply(sorted).to_dict()
+        assert key["vid/0"] == [0, 3, 6] and key["vid/1"] == [0, 3, 6, 9]
+        for r in got.itertuples(index=False):
+            assert bytes(r.bytes) == frames[r.video_id][r.frame_idx].tobytes()
+            assert (r.w, r.h) == frames[r.video_id][0].shape[1::-1]
+
+    def test_audio_features_match_numpy(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from overmatch_spark.images import encode_audio
+        from overmatch_spark.operators.multimodal import audio_features
+
+        t = np.arange(1600)
+        pcm = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        df = spark.createDataFrame(
+            pd.DataFrame([("a/0", encode_audio(pcm, 16000))],
+                         columns=["audio_id", "bytes"])
+        )
+        got = audio_features(df).toPandas().iloc[0]
+        x = pcm.astype(np.float64) / 32768.0
+        assert got["sample_rate"] == 16000
+        assert abs(got["rms"] - np.sqrt(np.mean(x * x))) < 1e-12
+        # a 440 Hz tone's spectral centroid sits near 440
+        assert 380 < got["spectral_centroid_hz"] < 500
+        assert abs(got["peak"] - np.abs(x).max()) < 1e-12
+
+    def test_real_codecs_stubbed(self, spark):
+        """mp4/mp3 payloads raise the documented NotImplementedError."""
+        import pandas as pd
+        import pytest as pt
+
+        from overmatch_spark.operators.multimodal import sample_frames
+
+        df = spark.createDataFrame(
+            pd.DataFrame([("v", b"\x00\x00\x00\x18ftypmp42")],
+                         columns=["video_id", "bytes"])
+        )
+        with pt.raises(Exception, match="NotImplementedError|codec"):
+            sample_frames(df, 2).collect()
+
+
 class TestDedupKernels:
     def test_exact_dedup(self, spark):
         from pyspark.sql import functions as F
