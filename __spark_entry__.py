@@ -883,6 +883,25 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(corpus, "text", "doc_id", k=3)
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: the streaming engine's tumbling-window aggregation
+    (watermark + window), run in its batch-parity form over `events`
+    so DuckDB can replay it (date_trunc hour). The same code path is
+    streaming-tested in tests/test_io_streaming.py."""
+    from overmatch_spark import demo
+    from overmatch_spark.streaming.ingest import windowed_event_counts
+
+    e = demo.load(spark, sf_dir, "events")
+    out = windowed_event_counts(e)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: error-budget run — failing rows are dropped and counted as
     data (exactly-once), the run aborts only over budget
@@ -1044,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_nested": q_struct_nested,
         "dedup_clusters": q_dedup_clusters,
         "simhash_hamming": q_simhash_hamming,
+        "windowed_counts": q_windowed_counts,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "error_budget": q_error_budget,
         "wide_projection": q_wide_projection,
@@ -1827,5 +1847,12 @@ def _oracle_sql_round2() -> dict[str, str]:
         "ann_multiprobe_topk": ann_multiprobe_sql,
         "error_budget": error_budget_sql,
         "simhash_hamming": simhash_hamming_sql,
+        "windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
         "wide_projection": wide_sql,
     }

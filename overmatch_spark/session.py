@@ -36,6 +36,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle/spill on tmpfs: this sandbox's virtual disk has
+        # noisy-neighbor latency windows (measured 4x wall swings with
+        # identical CPU speed); on a real cluster this is the
+        # NVMe-backed local dir the cluster manager provisions
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

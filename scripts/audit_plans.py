@@ -76,6 +76,16 @@ def main():
     ids_plan = grab_plan(assign_match_ids(m))
     sections.append(("Stable match-id assignment W7", ids_plan, None))
 
+    # 6. kNN fallback: one cached build table reused across phases,
+    # exactly one broadcast nested-loop (the histogram prune), and no
+    # Python added by the operator itself (matches passed as a plain
+    # id table so the conflation UDF's lineage doesn't blur the check)
+    from overmatch_spark.operators.knn import knn_fallback
+
+    matched_ids = a.select("osm_id").limit(100)
+    knn_plan = grab_plan(knn_fallback(a, b, matched_ids))
+    sections.append(("kNN fallback J8", knn_plan, None))
+
     checks = []
 
     def check(name, cond):
@@ -116,6 +126,19 @@ def main():
         band_inputs and all("sh#" not in s for s in band_inputs),
     )
     check("match-id assignment plan has no Window node", "Window" not in ids_plan)
+    check(
+        "knn reuses ONE cached build table across phases (>=3 cache scans)",
+        len(re.findall(r"InMemoryTableScan", knn_plan)) >= 3,
+    )
+    check(
+        "knn histogram prune is the plan's only nested-loop join",
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", knn_plan)) == 1
+        and "CartesianProduct" not in knn_plan,
+    )
+    check(
+        "knn plan is pure JVM (no Python eval nodes)",
+        "EvalPython" not in knn_plan,
+    )
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit\n\n")
