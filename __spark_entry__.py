@@ -902,6 +902,20 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: corpus partitioned by nearest trained centroid
+    (k-means coarse quantizer, a fixed training artifact shared by the
+    oracle as plan literals); probes scan nprobe=2 inverted lists and
+    re-rank by exact cosine."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.ann import ivf_topk, reference_ivf_centroids
+
+    cents = reference_ivf_centroids()
+    e = demo.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, probes, "embedding", "vec_id", cents, k=5, nprobe=2)
+
+
 def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: error-budget run — failing rows are dropped and counted as
     data (exactly-once), the run aborts only over budget
@@ -1065,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "error_budget": q_error_budget,
         "wide_projection": q_wide_projection,
     }
@@ -1750,6 +1765,38 @@ def _oracle_sql_round2() -> dict[str, str]:
         SELECT doc_id, 'ok' AS status FROM documents WHERE doc_id % 97 != 0
     """
 
+    from overmatch_spark.operators.ann import (
+        reference_ivf_centroids,
+        sql_ivf_assign,
+        sql_ivf_probe_list,
+    )
+
+    cents = reference_ivf_centroids()
+    ann_ivf_sql = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c AS (SELECT vec_id, v, {sql_ivf_assign('v', cents)} AS ivf FROM e),
+        pb AS (
+          SELECT vec_id AS probe_id, v AS pv,
+                 unnest({sql_ivf_probe_list('v', cents, 2)}) AS ivf
+          FROM e WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT pb.probe_id, c.vec_id AS cand_id,
+                 round({dd.sql_cosine('pb.pv', 'c.v')}, 9) AS cos_sim
+          FROM c JOIN pb ON c.ivf = pb.ivf
+          WHERE c.vec_id != pb.probe_id
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
     sh3 = dd.sql_shingles("text", 3)
     blocks_case = " ".join(
         f"WHEN {i} THEN {dd.sql_simhash_block('sig', i, 15, 4)}"
@@ -1845,6 +1892,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         "category_tags": category_tags_sql,
         "struct_nested": struct_nested_sql,
         "ann_multiprobe_topk": ann_multiprobe_sql,
+        "ann_ivf_topk": ann_ivf_sql,
         "error_budget": error_budget_sql,
         "simhash_hamming": simhash_hamming_sql,
         "windowed_counts": """

@@ -163,7 +163,13 @@ def main():
 
     # ---- ANN recall@5 vs brute force (multi-probe closes the LSH
     # recall cliff; VERDICT r1 #6) ----
-    from overmatch_spark.operators.ann import brute_force_topk, lsh_topk, multiprobe_topk
+    from overmatch_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        multiprobe_topk,
+        reference_ivf_centroids,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = e.filter(F.col("vec_id") < 50)
@@ -181,6 +187,12 @@ def main():
     recall_lsh = recall(lsh_topk(e, probes, "embedding", "vec_id", k=5))
     recall_mp = recall(
         multiprobe_topk(e, probes, "embedding", "vec_id", k=5, extra=2)
+    )
+    recall_ivf = recall(
+        ivf_topk(
+            e, probes, "embedding", "vec_id", reference_ivf_centroids(),
+            k=5, nprobe=2,
+        )
     )
     print(
         json.dumps(
@@ -203,6 +215,7 @@ def main():
                 "conflate_8x_features_per_sec": round(n8 / t8, 1),
                 "ann_recall_at5_lsh": recall_lsh,
                 "ann_recall_at5_multiprobe": recall_mp,
+                "ann_recall_at5_ivf_nprobe2": recall_ivf,
             }
         )
     )

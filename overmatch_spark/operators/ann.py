@@ -85,6 +85,159 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: trained coarse quantizer + cluster-pruned search
+# ---------------------------------------------------------------------------
+
+_IVF_TRAIN_PATH = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def reference_ivf_centroids(k: int = 16, iters: int = 5,
+                            n_sample: int = 256,
+                            path: str = _IVF_TRAIN_PATH):
+    """The repo's pinned IVF quantizer: trained once on a fixed
+    deterministic sample (lowest vec_ids of the reference embeddings
+    table) so Spark queries and DuckDB oracles share identical
+    centroid literals. Cached per-process."""
+    key = (k, iters, n_sample, path)
+    if key not in _IVF_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"]).to_pydict()
+        rows = sorted(zip(t["vec_id"], t["embedding"]))[:n_sample]
+        _IVF_CACHE[key] = train_ivf_centroids(
+            [[float(x) for x in e] for _, e in rows], k, iters
+        )
+    return _IVF_CACHE[key]
+
+
+_IVF_CACHE: dict = {}
+
+def train_ivf_centroids(
+    vectors: list[list[float]], k: int = 16, iters: int = 5
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a fixed training sample —
+    driver-side numpy, so the centroids become plan LITERALS on any
+    engine (the same discipline as dedup.hyperplanes). An IVF coarse
+    quantizer is a trained artifact reused across queries/partitions;
+    sample-based training is the standard practice at corpus scale.
+    Init = first k sample vectors (id order), fixed iteration count —
+    no randomness anywhere."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in C]
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(c)) for c in centroid]),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based id of the nearest centroid (ties -> lowest index, the
+    same first-occurrence rule as DuckDB list_position)."""
+    dists = F.array(*[_sqdist(vec, c) for c in centroids])
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def ivf_probe_lists(vec: Column, centroids: list[list[float]],
+                    nprobe: int) -> Column:
+    """The nprobe nearest centroid ids for a probe vector (sorted by
+    (distance, id) — engine-portable determinism)."""
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(vec, c).alias("d"), F.lit(j + 1).alias("j")
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(F.slice(pairs, 1, nprobe), lambda s: s["j"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: the corpus is partitioned by nearest-centroid id
+    (at rest this is the table's partition column — probes then prune
+    partitions); each probe scans only its nprobe nearest inverted
+    lists and re-ranks by exact cosine. Approximate like every IVF;
+    recall is the nprobe dial."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("ivf", ivf_assign(F.col("cv"), centroids))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    ).withColumn(
+        "ivf", F.explode(ivf_probe_lists(F.col("pv"), centroids, nprobe))
+    )
+    scored = (
+        c.join(F.broadcast(p), "ivf")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def sql_sqdist(vec: str, centroid: list[float]) -> str:
+    consts = "[" + ", ".join(f"{float(c)!r}" for c in centroid) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+        f"i -> ({vec}[i] - ({consts})[i]) * ({vec}[i] - ({consts})[i])), "
+        f"(s, x) -> s + x)"
+    )
+
+
+def sql_ivf_assign(vec: str, centroids: list[list[float]]) -> str:
+    dists = "[" + ", ".join(sql_sqdist(vec, c) for c in centroids) + "]"
+    return f"list_position({dists}, list_min({dists}))"
+
+
+def sql_ivf_probe_list(vec: str, centroids: list[list[float]],
+                       nprobe: int) -> str:
+    pairs = "[" + ", ".join(
+        f"{{'d': {sql_sqdist(vec, c)}, 'j': {j + 1}}}"
+        for j, c in enumerate(centroids)
+    ) + "]"
+    return (
+        f"list_transform(list_slice(list_sort({pairs}), 1, {nprobe}), "
+        f"s -> s.j)"
+    )
+
+
 def multiprobe_buckets(vec: Column, planes: list[list[int]],
                        extra: int) -> Column:
     """Array of LSH buckets to probe: the base bucket plus `extra`

@@ -323,6 +323,42 @@ class TestMatchIds:
         assert g["match_id"].min() == 1 and g["match_id"].max() == n
 
 
+class TestIvf:
+    def test_full_probe_equals_brute_force(self, spark):
+        """IVF with nprobe = #centroids scans every inverted list, so
+        it must reproduce the exact brute-force top-k — the recall
+        loss is ONLY the pruning, never the mechanics."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.ann import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        sample = [
+            [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+        ]
+        cents = train_ivf_centroids(sample, k=8, iters=3)
+        probes = e.filter(F.col("vec_id") < 3)
+        got = (
+            ivf_topk(e, probes, "embedding", "vec_id", cents, k=5, nprobe=8)
+            .toPandas()
+            .sort_values(["probe_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            brute_force_topk(e, probes, "embedding", "vec_id", k=5)
+            .toPandas()
+            .sort_values(["probe_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert got["cand_id"].tolist() == want["cand_id"].tolist()
+        assert (got["cos_sim"] == want["cos_sim"]).all()
+
+
 class TestSimhashHamming:
     def test_pigeonhole_blocking_is_exact(self, spark):
         """simhash_hamming_pairs must find EXACTLY the pairs within
