@@ -325,23 +325,28 @@ def dedup_clusters(
     (reference precedent for pair->group formation:
     /root/reference/api/load_matches.py:204-212).
 
-    Scale: each round is one (node)-keyed shuffle of label pairs and
-    converges in O(component diameter) rounds — near-dup components
-    are shallow (stars/cliques around a template), so 2-3 rounds in
-    practice; the loop exits as soon as a round changes nothing. For
-    adversarially deep graphs the alternating star contraction
-    (large-star/small-star, O(log n) rounds) slots into this same
-    loop shape.
+    Scale: each round is two (node)-keyed shuffles — a neighbor-min
+    pass plus a POINTER-JUMPING pass (my label's label), which makes
+    convergence O(log diameter) instead of O(diameter), so even a
+    pathological million-node chain converges in ~20 rounds. Near-dup
+    components are shallow (stars/cliques around a template), so 2-3
+    rounds in practice; the loop exits as soon as a round changes
+    nothing.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint (not just persist) on every iteration state: the
+    # loop would otherwise grow the LOGICAL plan each round and
+    # Catalyst re-analysis cost explodes — the classic iterative-
+    # DataFrame pitfall. Checkpointing truncates lineage to the
+    # materialized blocks.
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint()
     lab = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         nb = (
@@ -351,15 +356,22 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # pointer jumping: resolve my label's own label in the same round
+        jump = lab.select(
+            F.col("node").alias("label"), F.col("label").alias("jlabel")
+        )
         new = (
             lab.join(nb.select(F.col("src").alias("node"), "nmin"), "node", "left")
+            .join(jump, "label", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                    F.coalesce(F.col("jlabel"), F.col("label")),
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.join(lab.withColumnRenamed("label", "old"), "node")
@@ -367,7 +379,6 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        lab.unpersist()
         lab = new
         if changed == 0:
             break

@@ -160,6 +160,34 @@ class TestStreamingIngest:
         assert got.loc["n7", "first_seen"] == 107
         assert len(got) == 200
 
+    def test_merge_replay_is_idempotent(self, spark, tmp_path):
+        """Re-applying the same batch (a streaming checkpoint replay
+        after a crash between manifest-commit and checkpoint-commit)
+        must converge to the identical state."""
+        import pandas as pd
+
+        from overmatch_spark.operators.seen_store import PartitionedSeenStore
+
+        store = PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=4)
+        b1 = spark.createDataFrame(
+            pd.DataFrame({"element_id": ["a", "b", "c"], "seen_at": [5, 9, 2]})
+        )
+        store.merge_batch(b1)
+        store.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["a"], "seen_at": [50]})
+            )
+        )
+        snap = store.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        # replay the second batch
+        store.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["a"], "seen_at": [50]})
+            )
+        )
+        again = store.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(snap, again)
+
     def test_store_commit_is_atomic(self, spark, tmp_path):
         """A crash between data-write and manifest-commit must leave
         the previous committed state fully readable."""

@@ -426,6 +426,20 @@ class TestSimhashHamming:
         assert got.loc[7, "cluster_id"] == 7 and got.loc[8, "cluster_id"] == 8
         assert got["survivor"].sum() == 4  # 1, 5, 7, 8
 
+    def test_deep_chain_converges_logarithmically(self, spark):
+        """Pointer jumping makes a 200-node chain (diameter 200)
+        converge within the default iteration budget — plain
+        neighbor-min propagation alone would need 200 rounds."""
+        from overmatch_spark.operators.dedup import dedup_clusters
+
+        n = 200
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+        )
+        got = dedup_clusters(pairs, max_iters=15).toPandas()
+        assert (got["cluster_id"] == 0).all()
+        assert got["survivor"].sum() == 1
+
 
 class TestTags:
     def test_website_chain(self, spark):
