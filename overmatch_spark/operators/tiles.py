@@ -29,10 +29,13 @@ def assign_match_ids(matches: DataFrame,
     The local index comes from monotonically_increasing_id's low 33
     bits — safe HERE because the layout is pinned: the partitioning is
     range-based on the (unique) key, rows are sorted within each
-    partition, and the DataFrame is persisted so the offset pass and
-    the id pass read the same physical partitions. Output ids are
-    identical to row_number() over a global (osm_id, overture_id)
-    sort (property-tested)."""
+    partition, and the DataFrame is persisted (MEMORY_AND_DISK — an
+    evicted block spills, it is not recomputed) so the offset pass and
+    the id pass read the same physical partitions. On EXECUTOR LOSS a
+    lost block does recompute; a production job that must survive that
+    mid-flight replaces the persist with a reliable checkpoint of the
+    range-partitioned table. Output ids are identical to row_number()
+    over a global (osm_id, overture_id) sort (property-tested)."""
     keys = ["osm_id", "overture_id"]
     n = num_partitions or matches.sparkSession.sparkContext.defaultParallelism
     part = (

@@ -14,6 +14,39 @@ from overmatch_spark.spec import conflate_spec
 N = 400
 
 
+def test_mapinpandas_derivation_is_batch_invariant(spark):
+    """The layer derivation must depend ONLY on per-row values, never
+    on Arrow batch boundaries: deriving through mapInPandas over an
+    arbitrary partitioning must equal the single-frame driver-side
+    derivation row-for-row (regression for the positional hot-cell
+    index bug)."""
+    images_pdf = fixtures.make_images(300, with_bytes=False)
+    images = spark.createDataFrame(images_pdf).repartition(7)
+
+    def der_a(batches):
+        for pdf in batches:
+            yield fixtures.derive_layer_a(pdf)
+
+    got = (
+        images.mapInPandas(
+            der_a,
+            "osm_id string, name string, housenumber string, lon double, "
+            "lat double, image_id string",
+        )
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        fixtures.derive_layer_a(images_pdf)
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert got["osm_id"].tolist() == want["osm_id"].tolist()
+    assert np.array_equal(got["lon"].to_numpy(), want["lon"].to_numpy())
+    assert np.array_equal(got["lat"].to_numpy(), want["lat"].to_numpy())
+
+
 def test_images_to_matches_with_payload_invariants(spark, tmp_path):
     from overmatch_spark.images import decode, gen_pixels, psnr_db
     from overmatch_spark.operators.checkpoint import ConflationJob
