@@ -645,7 +645,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (key * 17 % 1000).alias("val"),
     )
-    path = os.path.join(tempfile.gettempdir(), "overmatch_jsonl_roundtrip")
+    # per-call unique dir: concurrent harness runs must not race on a
+    # shared fixed path
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="overmatch_jsonl_"), "roundtrip"
+    )
     write_jsonl(df, path)
     return read_jsonl(spark, path, schema="id long, name string, val long")
 
@@ -675,7 +679,9 @@ def q_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for k, nm in zip(t["n_nationkey"], t["n_name"])
     ]
-    path = os.path.join(tempfile.gettempdir(), "overmatch_fc.geojson")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="overmatch_fc_"), "fc.geojson"
+    )
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     got = read_geojson_features(spark, path, "`@id`: string, name: string")
@@ -698,8 +704,7 @@ def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overmatch_spark.operators.io import read_csv_taxonomy
 
     t = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
-    d = os.path.join(tempfile.gettempdir(), "overmatch_tax")
-    os.makedirs(d, exist_ok=True)
+    d = tempfile.mkdtemp(prefix="overmatch_tax_")
     with open(os.path.join(d, "tax.csv"), "w") as f:
         f.write("code;category;region\n")
         for k, nm, r in sorted(

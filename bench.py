@@ -127,6 +127,9 @@ def main():
     )
 
     best_of("knn", lambda: knn_fallback(a, b, m))
+    from overmatch_spark.operators import knn as knn_mod
+
+    knn_mod.release_caches()  # both timed runs are materialized
 
     # LLM-pipeline representative: MinHash+LSH near-dup pairs over the
     # documents table (banded candidate generation + exact-Jaccard

@@ -89,29 +89,15 @@ def lsh_topk(
 # IVF (inverted-file) ANN: trained coarse quantizer + cluster-pruned search
 # ---------------------------------------------------------------------------
 
-_IVF_TRAIN_PATH = "/root/testdata/sf0.01/embeddings.parquet"
+def reference_ivf_centroids():
+    """The repo's pinned IVF quantizer — a CHECKED-IN trained artifact
+    (overmatch_spark/artifacts.py), so Spark queries and DuckDB
+    oracles share identical centroid literals without any runtime
+    dependency on the training file. See artifacts.py for provenance
+    and train_ivf_centroids for regeneration."""
+    from overmatch_spark.artifacts import IVF_CENTROIDS
 
-
-def reference_ivf_centroids(k: int = 16, iters: int = 5,
-                            n_sample: int = 256,
-                            path: str = _IVF_TRAIN_PATH):
-    """The repo's pinned IVF quantizer: trained once on a fixed
-    deterministic sample (lowest vec_ids of the reference embeddings
-    table) so Spark queries and DuckDB oracles share identical
-    centroid literals. Cached per-process."""
-    key = (k, iters, n_sample, path)
-    if key not in _IVF_CACHE:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(path, columns=["vec_id", "embedding"]).to_pydict()
-        rows = sorted(zip(t["vec_id"], t["embedding"]))[:n_sample]
-        _IVF_CACHE[key] = train_ivf_centroids(
-            [[float(x) for x in e] for _, e in rows], k, iters
-        )
-    return _IVF_CACHE[key]
-
-
-_IVF_CACHE: dict = {}
+    return IVF_CENTROIDS
 
 def train_ivf_centroids(
     vectors: list[list[float]], k: int = 16, iters: int = 5

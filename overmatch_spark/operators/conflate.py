@@ -132,8 +132,10 @@ def conflate(
     if hot_cells is not None and not isinstance(hot_cells, (list, tuple)):
         # DataFrame of hot cell ids: broadcast-join the flag so the
         # hot set never transits the driver (the 100x-scale path)
+        # distinct: a duplicate cell id in the hot set would duplicate
+        # every joined row (the API accepts any (cell)-schema DataFrame)
         hot = F.broadcast(
-            hot_cells.select(F.col("cell"), F.lit(True).alias("_hot"))
+            hot_cells.select("cell").distinct().withColumn("_hot", F.lit(True))
         )
         k = F.when(F.coalesce(F.col("_hot"), F.lit(False)), F.lit(salt_factor)
                    ).otherwise(F.lit(1))

@@ -379,10 +379,13 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        lab.unpersist()  # release the superseded round's blocks
         lab = new
         if changed == 0:
             break
     sym.unpersist()
+    # NB: the FINAL lab's checkpointed blocks back the returned
+    # DataFrame's (truncated) lineage and must stay alive
     out = lab.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -54,6 +54,25 @@ from overmatch_spark import expressions as X
 # tied candidate inside any bound/cover derived from a winner
 _TIE_SLACK_M = 0.002
 
+# intermediates persisted by knn_fallback; the returned DataFrame is
+# lazy and REQUIRES them at action time, so the operator cannot
+# unpersist them itself — callers that invoke knn_fallback repeatedly
+# in one session (benchmarks, loops) call release_caches() after the
+# results are materialized
+_PERSISTED: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by prior knn_fallback
+    calls. Only call AFTER the returned DataFrames were materialized
+    (or are no longer needed)."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def _best_per_probe(cand: DataFrame) -> DataFrame:
     """Exact min with the engine's tie-break rule."""
@@ -98,8 +117,14 @@ def _choose_coarse_res(b: DataFrame, coarse_res: int,
                        max_hist_cells: int) -> int:
     """Escalate the coarse resolution until the occupied-cell count
     fits the broadcast budget (one pass over the cached build side,
-    all candidate resolutions estimated at once)."""
-    floor_res = max(coarse_res - 6, 4)
+    all candidate resolutions estimated at once). The scan floor is
+    resolution 2 — a 4x4 global grid, at most 16 occupied cells — so
+    for any budget >= 16 some resolution ALWAYS fits (within
+    approx_count_distinct's ~2-5% accuracy) rather than silently
+    overshooting."""
+    floor_res = 2
+    if coarse_res <= floor_res:
+        return coarse_res
     aggs = b.agg(
         *[
             F.approx_count_distinct(
@@ -140,6 +165,7 @@ def knn_fallback(
         )
         .persist()
     )
+    _PERSISTED.append(probes)
     # ONE cached build table (scanned/derived once, reused by every
     # phase; ccell added after the coarse resolution self-tunes)
     b0 = layer_b.select(
@@ -147,6 +173,7 @@ def knn_fallback(
         X.merc_x(F.col("lon")).alias("bx"),
         X.merc_y(F.col("lat")).alias("by"),
     ).persist()
+    _PERSISTED.append(b0)
     coarse_res = _choose_coarse_res(b0, coarse_res, max_hist_cells)
     edge_c = X.cell_edge_m(coarse_res)
     b = b0.withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0)).withColumn(
@@ -167,6 +194,7 @@ def knn_fallback(
     # persist it (tiny: <= one row per probe) so the phase-1 join is
     # not recomputed lazily for each consumer
     best1 = _best_per_probe(cand1).persist()
+    _PERSISTED.append(best1)
     exit1 = F.lit(r1 - _TIE_SLACK_M)
     done1 = best1.filter(F.col("dist") <= exit1)
     stragglers = probes.join(done1.select("osm_id"), "osm_id", "left_anti")

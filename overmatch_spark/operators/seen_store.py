@@ -48,6 +48,13 @@ class PartitionedSeenStore:
         self.store_dir = store_dir
         self.n_buckets = n_buckets
         os.makedirs(store_dir, exist_ok=True)
+        # the committed manifest owns the bucket count: reopening an
+        # existing store with a different n_buckets would hash rows
+        # into different buckets than they were committed to and
+        # silently duplicate state — adopt the store's value instead
+        committed = self.manifest()
+        if committed["buckets"]:
+            self.n_buckets = committed.get("n_buckets", n_buckets)
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -114,6 +121,7 @@ class PartitionedSeenStore:
         for t in touched:
             manifest["buckets"][str(t)] = os.path.join(vdir, f"bucket={t}")
         manifest["version"] = version
+        manifest["n_buckets"] = self.n_buckets
         self._commit(manifest)
         self._gc(manifest)
         return touched

@@ -54,9 +54,11 @@ def assign_match_ids(matches: DataFrame,
         for r in with_mid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     )
     if not counts:  # empty input: no rows to id
-        return with_mid.withColumn(
+        out = with_mid.withColumn(
             "match_id", F.lit(None).cast("long")
-        ).drop("_pid", "_local")
+        ).drop("_pid", "_local").localCheckpoint()
+        part.unpersist()
+        return out
     offsets, acc = {}, 0
     for pid, c in counts:
         offsets[pid] = acc
@@ -68,12 +70,17 @@ def assign_match_ids(matches: DataFrame,
         ),
         F.col("_pid"),
     )
-    return (
+    out = (
         with_mid.withColumn(
             "match_id", (off + F.col("_local") + F.lit(1)).cast("long")
         )
         .drop("_pid", "_local")
+        # freeze the ids NOW (truncated lineage) so the pinned layout
+        # cache can be released instead of leaking for the session
+        .localCheckpoint()
     )
+    part.unpersist()
+    return out
 
 
 def assign_tiles(matches: DataFrame, zooms=(10, 12, 14)) -> DataFrame:
