@@ -160,6 +160,35 @@ class TestStreamingIngest:
         assert got.loc["n7", "first_seen"] == 107
         assert len(got) == 200
 
+    def test_reopen_adopts_committed_bucket_count(self, spark, tmp_path):
+        """Reopening a store with a different n_buckets must adopt the
+        committed count — otherwise rows hash to different buckets
+        than they were committed to and the state silently splits."""
+        import pandas as pd
+
+        from overmatch_spark.operators.seen_store import PartitionedSeenStore
+
+        s1 = PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=8)
+        s1.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"element_id": [f"n{i}" for i in range(40)],
+                     "seen_at": list(range(40))}
+                )
+            )
+        )
+        s2 = PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=16)
+        assert s2.n_buckets == 8  # adopted from the manifest
+        s2.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["n3"], "seen_at": [999]})
+            )
+        )
+        got = s2.read().toPandas().set_index("element_id")
+        assert len(got) == 40  # no duplicated element rows
+        assert got.loc["n3", "first_seen"] == 3
+        assert got.loc["n3", "last_seen"] == 999
+
     def test_merge_replay_is_idempotent(self, spark, tmp_path):
         """Re-applying the same batch (a streaming checkpoint replay
         after a crash between manifest-commit and checkpoint-commit)
