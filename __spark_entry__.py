@@ -888,6 +888,35 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(corpus, "text", "doc_id", k=3)
 
 
+def q_checkpointed_conflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: the batched resumable pipeline (spatial-bucket units,
+    idempotent per-bucket overwrite, atomic lineage commits) must
+    produce EXACTLY the plain conflation's matches — the checkpointing
+    is physical, never semantic. Runs the real job against a fresh
+    work dir and returns its result."""
+    import tempfile
+
+    from overmatch_spark import demo
+    from overmatch_spark.operators.checkpoint import ConflationJob
+
+    a = demo.spark_layer_a(spark, sf_dir)
+    b = demo.spark_layer_b(spark, sf_dir)
+    job = ConflationJob(
+        spark, tempfile.mkdtemp(prefix="overmatch_ckpt_"), n_buckets=8
+    )
+    job.prepare(a, b)
+    job.run()
+    m = job.result()
+    return m.select(
+        "osm_id",
+        "overture_id",
+        F.round(F.col("lon"), 9).alias("lon"),
+        F.round(F.col("lat"), 9).alias("lat"),
+        "distance_m",
+        "similarity",
+    )
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: the streaming engine's tumbling-window aggregation
     (watermark + window), run in its batch-parity form over `events`
@@ -1083,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
+        "checkpointed_conflate": q_checkpointed_conflate,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "error_budget": q_error_budget,
@@ -1108,6 +1138,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "conflate_matches": f"""
+            {matches_cte}
+            SELECT osm_id, overture_id, lon, lat, distance_m, similarity
+            FROM matches
+        """,
+        "checkpointed_conflate": f"""
             {matches_cte}
             SELECT osm_id, overture_id, lon, lat, distance_m, similarity
             FROM matches
