@@ -481,6 +481,37 @@ class TestTags:
         for (_, want), g in zip(cases, got):
             assert g == want, f"{g!r} != {want!r}"
 
+    def test_lowercase_url_exhaustive_fragment_grammar(self, spark):
+        """Exhaustive cross-product of protocol/domain/path fragments
+        (72 cases incl. every tricky combination: missing protocol,
+        '//' after '/', empty domain, bare and nested trailing
+        slashes) against a direct model of the reference's documented
+        split semantics (match.py:19-33: first-'//' split, partition
+        at first '/', drop empty path)."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.tags import lowercase_url
+
+        def model(u: str) -> str:
+            i = u.find("//")
+            head, tail = ("", u) if i < 0 else (u[: i + 2], u[i + 2:])
+            j = tail.find("/")
+            if j < 0:
+                return head + tail.lower()
+            dom, rest = tail[:j], tail[j + 1:]
+            return head + dom.lower() + ("/" + rest if rest else "")
+
+        cases = [
+            p + d + s
+            for p in ["", "HTTP://", "a/b//", "//"]
+            for d in ["", "X.Com", "ABC"]
+            for s in ["", "/", "//", "/Path", "/Path/", "/A/B?Q=1"]
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"u": cases}))
+        got = df.select("u", lowercase_url(F.col("u")).alias("c")).toPandas()
+        for u, c in zip(got["u"], got["c"]):
+            assert c == model(u), f"{u!r}: {c!r} != {model(u)!r}"
+
     def test_phone_chain(self, spark):
         from pyspark.sql import functions as F
 
