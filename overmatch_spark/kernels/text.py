@@ -41,19 +41,29 @@ def _encode(strs, maxlen: int, pad: int) -> np.ndarray:
 
 
 def lcs_len_batch(a_list, b_list) -> np.ndarray:
-    """LCS length for each aligned pair. Pure numpy across pairs."""
+    """LCS length for each aligned pair. Pure numpy across pairs.
+
+    Equal pairs short-circuit (LCS(a,a) = |a|) — in conflation
+    workloads the majority of surviving candidates carry the exact
+    same name on both sides, so this skips the bit-parallel sweep for
+    most of the batch."""
     n = len(a_list)
     la = np.array([len(s) if s else 0 for s in a_list], dtype=np.int64)
     lb = np.array([len(s) if s else 0 for s in b_list], dtype=np.int64)
     out = np.zeros(n, dtype=np.int64)
 
-    fast = (la <= 64) & (lb <= 256)
+    a_arr = np.asarray([s or "" for s in a_list], dtype=object)
+    b_arr = np.asarray([s or "" for s in b_list], dtype=object)
+    eq = a_arr == b_arr
+    out[eq] = la[eq]
+
+    fast = ~eq & (la <= 64) & (lb <= 256)
     idx_fast = np.nonzero(fast)[0]
     if idx_fast.size:
         out[idx_fast] = _lcs_bitparallel(
             [a_list[i] for i in idx_fast], [b_list[i] for i in idx_fast]
         )
-    idx_slow = np.nonzero(~fast)[0]
+    idx_slow = np.nonzero(~eq & ~fast)[0]
     for i in idx_slow:
         out[i] = _lcs_dp(a_list[i] or "", b_list[i] or "")
     return out
