@@ -888,6 +888,25 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(corpus, "text", "doc_id", k=3)
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension: gap-based sessionization of the events stream
+    (30-min inactivity closes a session), in its batch-parity window-
+    function form. The streaming form of the SAME rule runs via
+    applyInPandasWithState (streaming/sessions.py) and is equality-
+    tested against this batch form."""
+    from overmatch_spark.streaming.sessions import sessionize_batch
+
+    from overmatch_spark import demo
+
+    e = demo.load(spark, sf_dir, "events")
+    s = sessionize_batch(e, gap_us=1_800_000_000)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
 def q_checkpointed_conflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4: the batched resumable pipeline (spatial-bucket units,
     idempotent per-bucket overwrite, atomic lineage commits) must
@@ -1112,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
+        "event_sessions": q_event_sessions,
         "checkpointed_conflate": q_checkpointed_conflate,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1659,6 +1679,19 @@ def _oracle_sql_extended() -> dict[str, str]:
     }
 
 
+def _event_sessions_sql() -> str:
+    from overmatch_spark.streaming.sessions import sql_sessionize_batch
+
+    return f"""
+        WITH {sql_sessionize_batch().strip()}
+        SELECT user_id, session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts_us) AS first_us,
+               max(ts_us) AS last_us
+        FROM sessions GROUP BY user_id, session_idx
+    """
+
+
 def _oracle_sql_round2() -> dict[str, str]:
     from overmatch_spark import demo
     from overmatch_spark import expressions as X
@@ -1942,5 +1975,6 @@ def _oracle_sql_round2() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
         """,
+        "event_sessions": _event_sessions_sql(),
         "wide_projection": wide_sql,
     }

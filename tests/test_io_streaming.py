@@ -256,6 +256,78 @@ class TestStreamingIngest:
             before.reset_index(drop=True), after.reset_index(drop=True)
         )
 
+    def test_stateful_sessionization_stream_equals_batch(self, spark, tmp_path):
+        """The applyInPandasWithState sessionizer must assign exactly
+        the same (event -> session) mapping as the window-function
+        batch form when events arrive in event-time order across
+        micro-batches (3 files, one per trigger)."""
+        import json as _json
+
+        from overmatch_spark.streaming.sessions import (
+            sessionize_batch,
+            sessionize_stream,
+        )
+
+        events = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).filter(F.col("user_id") < 10)
+        want = (
+            sessionize_batch(events)
+            .toPandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+
+        pdf = (
+            events.select("user_id", "event_id", "ts")
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        inp = tmp_path / "sess_in"
+        inp.mkdir()
+        n = len(pdf)
+        for i in range(3):
+            chunk = pdf.iloc[i * n // 3:(i + 1) * n // 3]
+            with open(inp / f"part{i}.json", "w") as f:
+                for r in chunk.itertuples(index=False):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "user_id": int(r.user_id),
+                                "event_id": int(r.event_id),
+                                "ts": r.ts.isoformat(sep=" "),
+                            }
+                        )
+                        + "\n"
+                    )
+
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.sql("SELECT * FROM sess_out")
+            .toPandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        assert (got["session_idx"].to_numpy()
+                == want["session_idx"].to_numpy()).all()
+        assert (got["ts_us"].to_numpy() == want["ts_us"].to_numpy()).all()
+
     def test_windowed_event_counts_batch_parity(self, spark):
         from overmatch_spark.streaming.ingest import windowed_event_counts
 
