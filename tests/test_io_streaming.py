@@ -287,9 +287,11 @@ class TestStreamingIngest:
         inp = tmp_path / "sess_in"
         inp.mkdir()
         n = len(pdf)
+        base_mtime = 1_700_000_000
         for i in range(3):
             chunk = pdf.iloc[i * n // 3:(i + 1) * n // 3]
-            with open(inp / f"part{i}.json", "w") as f:
+            p = inp / f"part{i}.json"
+            with open(p, "w") as f:
                 for r in chunk.itertuples(index=False):
                     f.write(
                         _json.dumps(
@@ -301,6 +303,11 @@ class TestStreamingIngest:
                         )
                         + "\n"
                     )
+            # the file source orders batches by MODIFICATION TIME; all
+            # three files land within the same instant, so pin strictly
+            # increasing mtimes — the ingest contract is event-time
+            # order ACROSS batches per user
+            os.utime(p, (base_mtime + i * 60, base_mtime + i * 60))
 
         stream = (
             spark.readStream.schema("user_id long, event_id long, ts timestamp")
