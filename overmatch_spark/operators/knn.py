@@ -12,31 +12,39 @@ nearest-neighbor fallback for them. Two-phase exact algorithm:
   every candidate sharing the winner's mm-rounded tie-break key
   inside the cover), so the probe exits.
 
-  Phase 2 (stragglers, ONE build join for both variants):
-    2a (hinted) — each straggler's phase-1 candidate distance is a
-    per-row upper bound: a dynamic-radius cover at a coarser
-    resolution provably contains the true nearest.
-    2b (hintless) — a COARSE-CELL HISTOGRAM of the build side
-    (occupied cell -> bbox), small enough to broadcast, acts as the
-    distributed analog of the reference's R-tree upper levels: each
-    probe computes map-side the min/max possible distance to every
-    occupied coarse cell and keeps only cells whose min-distance does
-    not exceed its best upper bound.
-  Both variants emit (probe, candidate-cell, ub) rows; the union
-  joins the cached build side ONCE — the build table (id + 2 doubles
-  + 2 cell keys) is derived and cached a single time and feeds phase
-  1 and phase 2, so no phase re-scans or re-derives the corpus.
+  Phase 2 (stragglers): every straggler first gets a per-row UPPER
+  BOUND on its nearest distance —
+    hinted   — its phase-1 best candidate distance (+ tie slack);
+    hintless — a COARSE-CELL HISTOGRAM of the build side (occupied
+    cell -> bbox), small enough to broadcast, acts as the distributed
+    analog of the reference's R-tree upper levels: min over occupied
+    cells of the max possible distance to the cell bbox, computed as
+    a map-side partial aggregate (the shuffle carries ONE row per
+    probe, never the probe x cell product).
+  With ub known, each straggler picks the finest level of a
+  RESOLUTION LADDER (res0, res0-2, ..., 0) satisfying ub <= 2*edge —
+  so its dynamic cover is ALWAYS <= 6x6 cells regardless of how far
+  its nearest neighbor is — and joins the cached build side once on
+  the (level, cell) equi-key. The build side enumerates ladder
+  levels semi-join-pruned to the levels any probe actually chose
+  (typically just res0). Level choice shapes the physical search
+  only; any level is exact because a dynamic cover of radius ub
+  contains the whole disk that provably holds the nearest + its
+  mm-rounded ties.
 
-The coarse resolution self-tunes (escalates coarser) until the
-occupied-cell histogram fits the broadcast budget — at planetary
-scale a fixed resolution could exceed driver memory; the escalation
-is a one-pass approx_count_distinct over the cached build table and
-never changes results (resolution only shapes the physical search).
+The coarse histogram resolution self-tunes (escalates coarser) until
+the occupied-cell count fits the broadcast budget — at planetary
+scale a fixed resolution could exceed driver memory; the common case
+is a single approx_count_distinct probe of the requested resolution
+against the cached build table, and tuning never changes results.
 
 Naive ring-expansion to coarser cells is NOT used: at coarse
 resolutions dense cells make the candidate fan-out quadratic (probes
 x cell population) — measured as the difference between a 2e9-row
-join and an 18M-row map-side prune at sf0.1.
+join and a bounded-cover equi-join at sf0.1. The same reasoning
+picks the LADDER join over joining everything at the histogram
+resolution: a ~300 m upper bound covered by ~4.9 km cells drags in
+~130 candidates per cell where fine cells hold ~2.
 
 Tie-break: (rint(dist*1000), id) — millimeter-rounded distance then
 lexicographic id, so single-node oracles (numpy spec, DuckDB)
@@ -45,7 +53,7 @@ reproduce it without last-ulp ambiguity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from overmatch_spark import expressions as X
@@ -54,20 +62,25 @@ from overmatch_spark import expressions as X
 # tied candidate inside any bound/cover derived from a winner
 _TIE_SLACK_M = 0.002
 
-# intermediates persisted by knn_fallback; the returned DataFrame is
-# lazy and REQUIRES them at action time, so the operator cannot
-# unpersist them itself — callers that invoke knn_fallback repeatedly
-# in one session (benchmarks, loops) call release_caches() after the
-# results are materialized
+# Default registry for intermediates persisted by knn_fallback; the
+# returned DataFrame is lazy and REQUIRES them at action time, so the
+# operator cannot unpersist them itself. Callers that invoke
+# knn_fallback repeatedly in one session (benchmarks, loops) should
+# pass their OWN list via the `caches` parameter and unpersist it
+# after materializing results — the module-level registry is only the
+# convenience default for one-shot use, and release_caches() drains
+# it (interleaved callers sharing the default registry would release
+# each other's caches; own your list if that can happen).
 _PERSISTED: list = []
 
 
-def release_caches() -> None:
-    """Unpersist every intermediate cached by prior knn_fallback
-    calls. Only call AFTER the returned DataFrames were materialized
-    (or are no longer needed)."""
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+def release_caches(caches: list | None = None) -> None:
+    """Unpersist every intermediate in `caches` (default: the
+    module-level registry). Only call AFTER the returned DataFrames
+    were materialized (or are no longer needed)."""
+    reg = _PERSISTED if caches is None else caches
+    while reg:
+        df = reg.pop()
         try:
             df.unpersist()
         except Exception:
@@ -125,18 +138,68 @@ def _choose_coarse_res(b: DataFrame, coarse_res: int,
     floor_res = 2
     if coarse_res <= floor_res:
         return coarse_res
+    # fast path: the requested resolution usually fits — one sketch
+    n = b.agg(
+        F.approx_count_distinct(
+            X.cell_of(F.col("bx"), F.col("by"), coarse_res)
+        ).alias("n")
+    ).first()["n"]
+    if n <= max_hist_cells:
+        return coarse_res
     aggs = b.agg(
         *[
             F.approx_count_distinct(
                 X.cell_of(F.col("bx"), F.col("by"), r)
             ).alias(f"r{r}")
-            for r in range(floor_res, coarse_res + 1)
+            for r in range(floor_res, coarse_res)
         ]
     ).first()
-    for r in range(coarse_res, floor_res - 1, -1):
+    for r in range(coarse_res - 1, floor_res - 1, -1):
         if aggs[f"r{r}"] <= max_hist_cells:
             return r
     return floor_res
+
+
+def _dyn_edge(res_col):
+    """Cell edge in meters for a per-row resolution column (exact for
+    integer resolutions: pow(2, r) is dyadic, so the division rounds
+    identically to the literal cell_edge_m(r))."""
+    return F.lit(X.WORLD_M) / F.pow(F.lit(2.0), res_col.cast("double"))
+
+
+def _dyn_cover(ax, ay, radius, res_col):
+    """_dynamic_cover with a per-row resolution column — the ladder
+    join's probe side, where each straggler covers at its own level."""
+    edge = _dyn_edge(res_col)
+    ix_lo = F.floor((ax - radius + F.lit(X.ORIGIN_M)) / edge).cast("long")
+    ix_hi = F.floor((ax + radius + F.lit(X.ORIGIN_M)) / edge).cast("long")
+    iy_lo = F.floor((F.lit(X.ORIGIN_M) - (ay + radius)) / edge).cast("long")
+    iy_hi = F.floor((F.lit(X.ORIGIN_M) - (ay - radius)) / edge).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(ix_lo, ix_hi),
+            lambda i: F.transform(
+                F.sequence(iy_lo, iy_hi), lambda j: X.cell_id(i, j)
+            ),
+        )
+    )
+
+
+def _ladder_level(ub, res0: int):
+    """Finest ladder level (res0, res0-2, ..., 0) with ub <= 2*edge —
+    guarantees the dynamic cover is <= 6x6 cells for ANY ub. Any
+    level is exact; this one balances cover fan-out (shuffle rows)
+    against per-cell candidate volume."""
+    # ub <= 2*edge(l)  <=>  l <= log2(2*WORLD/ub)
+    l_raw = F.floor(F.log2(F.lit(2.0 * X.WORLD_M) / ub)).cast("int")
+    l_raw = F.least(F.lit(res0), l_raw)
+    # snap DOWN (coarser) onto the even-step ladder, clamp at 0
+    # (ceil(delta/2)*2 — Spark's `/` is double division, so floor it)
+    delta = F.lit(res0) - l_raw
+    snapped = F.lit(res0) - F.floor(
+        (delta + F.lit(1)) / F.lit(2.0)
+    ).cast("int") * F.lit(2)
+    return F.greatest(F.lit(0), snapped)
 
 
 def knn_fallback(
@@ -146,12 +209,18 @@ def knn_fallback(
     res0: int = 16,
     coarse_res: int = 13,
     max_hist_cells: int = 300_000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Nearest layer_b feature for every named layer_a row absent from
     `matches`. Returns (osm_id, overture_id, distance_m).
 
     Output is invariant to res0/coarse_res/max_hist_cells (they shape
-    the physical search only — property- and oracle-tested)."""
+    the physical search only — property- and oracle-tested).
+
+    `caches`: list the persisted intermediates are appended to; the
+    caller unpersists them (release_caches(caches)) after
+    materializing the result. Defaults to the module registry."""
+    reg = _PERSISTED if caches is None else caches
     # probes feed phase 1, the straggler anti-join, and phase 2 —
     # persist (narrow: id + 2 doubles per unmatched row). No distinct
     # on the matched-id side: anti-join semantics dedup for free.
@@ -165,20 +234,18 @@ def knn_fallback(
         )
         .persist()
     )
-    _PERSISTED.append(probes)
-    # ONE cached build table (scanned/derived once, reused by every
-    # phase; ccell added after the coarse resolution self-tunes)
+    reg.append(probes)
+    # ONE cached build table (scanned/derived once, reused by phase 1,
+    # the coarse histogram, and the ladder join)
     b0 = layer_b.select(
         F.col("id").alias("overture_id"),
         X.merc_x(F.col("lon")).alias("bx"),
         X.merc_y(F.col("lat")).alias("by"),
     ).persist()
-    _PERSISTED.append(b0)
+    reg.append(b0)
     coarse_res = _choose_coarse_res(b0, coarse_res, max_hist_cells)
     edge_c = X.cell_edge_m(coarse_res)
-    b = b0.withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0)).withColumn(
-        "ccell", X.cell_of(F.col("bx"), F.col("by"), coarse_res)
-    )
+    b = b0.withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0))
 
     # ---- phase 1: dynamic exact cover at radius edge/2 ----
     r1 = X.cell_edge_m(res0) / 2.0
@@ -194,40 +261,38 @@ def knn_fallback(
     # persist it (tiny: <= one row per probe) so the phase-1 join is
     # not recomputed lazily for each consumer
     best1 = _best_per_probe(cand1).persist()
-    _PERSISTED.append(best1)
+    reg.append(best1)
     exit1 = F.lit(r1 - _TIE_SLACK_M)
     done1 = best1.filter(F.col("dist") <= exit1)
-    stragglers = probes.join(done1.select("osm_id"), "osm_id", "left_anti")
 
-    # ---- phase 2a: bounded dynamic-cover cells for hinted probes ----
+    # ---- phase 2, step 1: an upper bound for every straggler ----
+    # hinted: the phase-1 candidate distance is a per-row upper bound
+    # (hint osm_ids are disjoint from done1 by the exit filter, so no
+    # explicit straggler anti-join is needed on this side)
     hints = best1.filter(F.col("dist") > exit1).select(
         "osm_id", (F.col("dist") + F.lit(_TIE_SLACK_M)).alias("ub")
     )
-    hinted = stragglers.join(hints, "osm_id")
-    bounded = hinted.filter(F.col("ub") <= F.lit(4.0 * edge_c))
-    cells2a = bounded.select(
-        "osm_id", "ax", "ay", "ub",
-        F.explode(
-            _dynamic_cover(F.col("ax"), F.col("ay"), F.col("ub"), coarse_res)
-        ).alias("ccell"),
-    )
-
-    # ---- phase 2b: histogram-pruned cells for the rest ----
-    rest = stragglers.join(bounded.select("osm_id"), "osm_id", "left_anti")
-    hist = b.groupBy("ccell").agg(F.count("*").alias("n"))
+    hinted = probes.join(hints, "osm_id")
+    # hintless: min over occupied coarse cells of the max possible
+    # distance to the cell bbox (each occupied cell holds >=1 point,
+    # so min(maxd) bounds the nearest). The broadcast histogram keeps
+    # this the plan's only nested-loop join; the groupBy is a partial
+    # aggregate, so the shuffle carries ONE row per probe — never the
+    # probe x cell product (the Window this replaces shuffled it all).
+    # rest = probes with NO phase-1 candidate at all (not in best1)
+    rest = probes.join(best1.select("osm_id"), "osm_id", "left_anti")
+    hist = b0.groupBy(
+        X.cell_of(F.col("bx"), F.col("by"), coarse_res).alias("ccell")
+    ).agg(F.count("*").alias("n"))
     ix = F.shiftright(F.col("ccell"), 30)
     iy = F.col("ccell") - F.shiftleft(ix, 30).cast("long")
     cells = hist.select(
-        "ccell",
         (ix * F.lit(edge_c) - F.lit(X.ORIGIN_M)).alias("xlo"),
         ((ix + 1) * F.lit(edge_c) - F.lit(X.ORIGIN_M)).alias("xhi"),
         (F.lit(X.ORIGIN_M) - (iy + 1) * F.lit(edge_c)).alias("ylo"),
         (F.lit(X.ORIGIN_M) - iy * F.lit(edge_c)).alias("yhi"),
     )
     pc = rest.crossJoin(F.broadcast(cells))
-    ddx = F.greatest(F.lit(0.0), F.col("xlo") - F.col("ax"), F.col("ax") - F.col("xhi"))
-    ddy = F.greatest(F.lit(0.0), F.col("ylo") - F.col("ay"), F.col("ay") - F.col("yhi"))
-    mindist = F.sqrt(ddx * ddx + ddy * ddy)
     mxx = F.greatest(
         F.abs(F.col("xlo") - F.col("ax")), F.abs(F.col("xhi") - F.col("ax"))
     )
@@ -235,20 +300,48 @@ def knn_fallback(
         F.abs(F.col("ylo") - F.col("ay")), F.abs(F.col("yhi") - F.col("ay"))
     )
     maxdist = F.sqrt(mxx * mxx + mxy * mxy)
-    pc = pc.withColumn("mind", mindist).withColumn("maxd", maxdist)
-    w = Window.partitionBy("osm_id")
-    # ub = tightest cell max-distance (+ tie slack): the true nearest
-    # and all its mm-key ties lie within it
-    cells2b = (
-        pc.withColumn("ub", F.min("maxd").over(w) + F.lit(_TIE_SLACK_M))
-        .filter(F.col("mind") <= F.col("ub"))
-        .select("osm_id", "ax", "ay", "ub", "ccell")
+    rest_ub = pc.groupBy("osm_id").agg(
+        (F.min(maxdist) + F.lit(_TIE_SLACK_M)).alias("ub")
     )
+    # one narrow row per straggler; persisted because BOTH the ladder
+    # cover and the needed-level prune read it (without the cache the
+    # whole upper-bound pipeline, histogram included, would run twice)
+    ubs = (
+        hinted.unionByName(rest.join(rest_ub, "osm_id"))
+        .withColumn("lvl", _ladder_level(F.col("ub"), res0))
+        .persist()
+    )
+    reg.append(ubs)
 
-    # ---- one build join resolves BOTH straggler variants exactly ----
+    # ---- phase 2, step 2: ladder equi-join at each probe's level ----
+    probe2 = ubs.select(
+        "osm_id", "ax", "ay", "ub", "lvl",
+        F.explode(
+            _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
+        ).alias("lcell"),
+    )
+    # build side: enumerate ladder levels, semi-join-pruned to the
+    # levels any straggler actually chose (typically just res0) —
+    # a broadcast hash semi-join on the level id, NOT a second
+    # nested-loop join, and the explode+filter never shuffles
+    levels = F.array(*[F.lit(r) for r in range(res0, -1, -2)])
+    needed = ubs.select("lvl").distinct()
+    b_ladder = (
+        b0.withColumn("lvl", F.explode(levels))
+        .join(F.broadcast(needed), "lvl", "left_semi")
+        .select(
+            "lvl",
+            F.floor((F.col("bx") + F.lit(X.ORIGIN_M)) / _dyn_edge(F.col("lvl")))
+            .cast("long").alias("bix"),
+            F.floor((F.lit(X.ORIGIN_M) - F.col("by")) / _dyn_edge(F.col("lvl")))
+            .cast("long").alias("biy"),
+            "overture_id", "bx", "by",
+        )
+        .withColumn("lcell", X.cell_id(F.col("bix"), F.col("biy")))
+        .drop("bix", "biy")
+    )
     cand2 = (
-        cells2a.unionByName(cells2b)
-        .join(b.select("ccell", "overture_id", "bx", "by"), "ccell")
+        probe2.join(b_ladder, ["lvl", "lcell"])
         .withColumn(
             "dist",
             X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),

@@ -79,6 +79,7 @@ def sessionize_stream(events: DataFrame,
     """Streaming sessionization: applyInPandasWithState keeps
     (last_ts_us, session_idx) per user. Input must be a streaming
     DataFrame with (user_id long, event_id long, ts timestamp)."""
+    import numpy as np
     import pandas as pd
 
     def assign(key, pdfs, state: GroupState):
@@ -87,18 +88,34 @@ def sessionize_stream(events: DataFrame,
             last_ts, sess = state.get
         else:
             last_ts, sess = None, 0
-        out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for r in pdf.itertuples(index=False):
-                if last_ts is None or r.ts_us - last_ts > gap_us:
-                    sess += 1
-                last_ts = int(r.ts_us)
-                out_rows.append((user_id, int(r.event_id), last_ts, sess))
+        # applyInPandasWithState may deliver a group's micro-batch as
+        # MULTIPLE Arrow chunks with no cross-chunk order guarantee —
+        # materialize them all before the single sort, otherwise a
+        # >maxRecordsPerBatch group gets chunk-local ordering.
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            yield pd.DataFrame(
+                columns=["user_id", "event_id", "ts_us", "session_idx"]
+            )
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        # Vectorized gap rule: flag[i] = (ts[i] - prev[i]) > gap_us,
+        # with the first element seeded from carried state.
+        flags = np.empty(len(ts), dtype=np.int64)
+        flags[0] = 1 if last_ts is None else int(ts[0] - last_ts > gap_us)
+        flags[1:] = (ts[1:] - ts[:-1]) > gap_us
+        session_idx = sess + np.cumsum(flags)
+        sess = int(session_idx[-1])
+        last_ts = int(ts[-1])
         state.update((last_ts, sess))
-        yield pd.DataFrame(
-            out_rows, columns=["user_id", "event_id", "ts_us", "session_idx"]
-        )
+        yield pd.DataFrame({
+            "user_id": np.full(len(ts), user_id, dtype=np.int64),
+            "event_id": pdf["event_id"].to_numpy(np.int64),
+            "ts_us": ts,
+            "session_idx": session_idx,
+        })
 
     prepared = events.select(
         "user_id", "event_id",

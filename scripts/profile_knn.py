@@ -1,18 +1,22 @@
-"""kNN profiler under the exact bench config: e2e wall time for N
-repeated runs (run 0 includes one-time JIT/codegen; later runs are
-steady-state), optionally with the coarse-res chooser pinned.
-
-Usage: python scripts/profile_knn.py [sf_dir] [runs] [--pin-coarse]
-"""
-
+"""Scratch profiler: knn_fallback wall time (run0 = one-time
+JIT/codegen, run1 = steady state) at sf0.1. Not part of the driver
+contract."""
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+
+from overmatch_spark import demo
+from overmatch_spark.operators import knn as knn_mod
+from overmatch_spark.operators.conflate import conflate
+from overmatch_spark.operators.knn import knn_fallback
+from overmatch_spark.session import get_spark
+from overmatch_spark.udfs import indel_sim
 
 
 def run_noop(df):
@@ -20,44 +24,44 @@ def run_noop(df):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    runs = int(args[1]) if len(args) > 1 else 2
-    cpus = 32
-
-    from overmatch_spark.operators.conflate import conflate
-    from overmatch_spark.operators import knn
-    from overmatch_spark.session import get_spark
-    from overmatch_spark.udfs import indel_sim
-    from bench import bench_layers
-
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
-        "knn-profile",
-        cpus=cpus,
+        "knn-profile", cpus=cpus,
         extra_conf={
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
             "spark.sql.autoBroadcastJoinThreshold": "-1",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    a, b = bench_layers(spark, sf_dir, cpus)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k")
+    ).repartition(2 * cpus)
+    a = demo.spark_layer_a(spark, sf_dir, None, "k", df=li)
+    b = demo.spark_layer_b(spark, sf_dir, None, "k", df=li)
+
     warm = (
         spark.range(0, 20_000 * cpus, 1, 2 * cpus)
         .withColumn("s", F.col("id").cast("string"))
         .withColumn("w", indel_sim(F.col("s"), F.col("s")))
     )
     run_noop(warm)
+
     m = conflate(a, b).persist()
     print("matches:", m.count(), flush=True)
 
-    if "--pin-coarse" in sys.argv:
-        knn._choose_coarse_res = lambda b0, cr, mx: cr
-
-    for i in range(runs):
+    for i in range(3):
+        caches = []
         t0 = time.time()
-        run_noop(knn.knn_fallback(a, b, m))
-        print(f"knn e2e run{i}: {time.time()-t0:.1f}s", flush=True)
-        knn.release_caches()
+        out = knn_fallback(a, b, m, caches=caches)
+        run_noop(out)
+        print(f"knn full run{i}: {time.time()-t0:.2f}s", flush=True)
+        knn_mod.release_caches(caches)
+
+    caches = []
+    n = knn_fallback(a, b, m, caches=caches).count()
+    print("knn rows:", n, flush=True)
+    knn_mod.release_caches(caches)
     spark.stop()
 
 
