@@ -9,10 +9,29 @@ docstring for the exact-agreement design).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SCRATCH: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-call unique dir under ONE process-owned scratch root that
+    is removed at interpreter exit — repeated harness runs no longer
+    accumulate temp dirs, while lazily-read DataFrames stay valid for
+    the whole process lifetime (the dirs back lazy scans, so they
+    must not be removed at query-return time)."""
+    global _SCRATCH
+    if _SCRATCH is None:
+        _SCRATCH = tempfile.mkdtemp(prefix="overmatch_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH)
 
 
 def _matches_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +256,32 @@ def q_seen_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((key * 13) % 3000 + 500).cast("long").alias("seen_at"),
     )
     return upsert_seen(seen, batch)
+
+
+def q_seen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/D2 through the REAL partitioned store: three overlapping
+    batches merged sequentially (manifest commits, bucket rewrites, a
+    mid-sequence compaction), then the committed state read back.
+    Equals a single-shot min/max upsert of the union — upsert_seen is
+    merge-order-independent, which is exactly what makes the replayed
+    store oracle-expressible."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.seen_store import PartitionedSeenStore
+
+    c = demo.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    store = PartitionedSeenStore(
+        spark, _scratch_dir("overmatch_seenrep_"), n_buckets=8
+    )
+    for i in (0, 1, 2):
+        batch = c.filter((key % 3 == i) | (key % 5 == i)).select(
+            F.concat(F.lit("node/"), key.cast("string")).alias("element_id"),
+            ((key * (7 + i)) % 3000 + 100 * i).cast("long").alias("seen_at"),
+        )
+        store.merge_batch(batch)
+        if i == 1:
+            store.compact()  # state must be invariant under compaction
+    return store.read()
 
 
 def q_tile_density_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,9 +692,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-call unique dir: concurrent harness runs must not race on a
     # shared fixed path
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="overmatch_jsonl_"), "roundtrip"
-    )
+    path = os.path.join(_scratch_dir("overmatch_jsonl_"), "roundtrip")
     write_jsonl(df, path)
     return read_jsonl(spark, path, schema="id long, name string, val long")
 
@@ -680,7 +723,7 @@ def q_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, nm in zip(t["n_nationkey"], t["n_name"])
     ]
     path = os.path.join(
-        tempfile.mkdtemp(prefix="overmatch_fc_"), "fc.geojson"
+        _scratch_dir("overmatch_fc_"), "fc.geojson"
     )
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
@@ -704,7 +747,7 @@ def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from overmatch_spark.operators.io import read_csv_taxonomy
 
     t = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
-    d = tempfile.mkdtemp(prefix="overmatch_tax_")
+    d = _scratch_dir("overmatch_tax_")
     with open(os.path.join(d, "tax.csv"), "w") as f:
         f.write("code;category;region\n")
         for k, nm, r in sorted(
@@ -859,6 +902,74 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, nodes=corpus.select("doc_id"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster formation, KEEP-BEST survivor policy: the survivor
+    is the cluster's longest text (ties -> smallest doc_id) — the
+    standard corpus-dedup knob; here it keeps the original document
+    over its truncated near-dup."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    )
+    corpus = d.unionByName(trunc)
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", bands=8, rows_per_band=2,
+        jaccard_threshold=0.5,
+    )
+    return dedup_clusters(
+        pairs,
+        nodes=corpus.select("doc_id", F.length("text").alias("score")),
+        score_col="score",
+    )
+
+
+_IMAGE_FEATURES_N = 60
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode + per-image features over the binary image
+    column (raw/qlossy codec), distributed via mapInPandas. The
+    oracle replays the identical per-image numpy computation
+    single-node (the codec is deterministic — VERDICT r2 #5), so this
+    row verifies the whole Spark plumbing: binary round-trip, Arrow
+    batching, partition invariance of per-image math."""
+    from overmatch_spark.fixtures import make_images
+    from overmatch_spark.operators.multimodal import extract_features
+
+    pdf = make_images(_IMAGE_FEATURES_N)
+    images = spark.createDataFrame(pdf).repartition(8)
+    return extract_features(images)
+
+
+def _image_features_oracle_sql() -> str:
+    """Single-node numpy replay of extract_features as a DuckDB VALUES
+    literal (repr round-trips doubles exactly)."""
+    from overmatch_spark.fixtures import make_images
+    from overmatch_spark.images import decode
+
+    rows = []
+    for r in make_images(_IMAGE_FEATURES_N).itertuples(index=False):
+        px = decode(r.bytes, r.w, r.h, r.fmt).astype("float64")
+        rows.append(
+            f"('{r.image_id}', {round(float(px[:, :, 0].mean()), 9)!r}, "
+            f"{round(float(px[:, :, 1].mean()), 9)!r}, "
+            f"{round(float(px[:, :, 2].mean()), 9)!r}, "
+            f"{round(float(px.mean(axis=2).std()), 9)!r}, "
+            f"{float(r.w) / float(r.h)!r})"
+        )
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT * FROM (VALUES
+              {values}
+        ) AS t(image_id, mean_r, mean_g, mean_b, std_gray, aspect)
+    """
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN multi-probe LSH top-5: probes also search the 2 buckets
     reached by flipping their lowest-|margin| sign bits."""
@@ -921,7 +1032,7 @@ def q_checkpointed_conflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = demo.spark_layer_a(spark, sf_dir)
     b = demo.spark_layer_b(spark, sf_dir)
     job = ConflationJob(
-        spark, tempfile.mkdtemp(prefix="overmatch_ckpt_"), n_buckets=8
+        spark, _scratch_dir("overmatch_ckpt_"), n_buckets=8
     )
     job.prepare(a, b)
     job.run()
@@ -1129,6 +1240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_tags": q_category_tags,
         "struct_nested": q_struct_nested,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "seen_replay": q_seen_replay,
+        "image_features": q_image_features,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
@@ -1676,6 +1790,44 @@ def _oracle_sql_extended() -> dict[str, str]:
                    coalesce(l.cluster_id, c.doc_id) = c.doc_id AS survivor
             FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
         """,
+        "dedup_keep_best": f"""
+            {minhash_cte.replace("WITH corpus", "WITH RECURSIVE corpus", 1)},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM scored WHERE jaccard >= 0.5
+            ),
+            comp(node, label) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, c.label FROM edges e JOIN comp c ON c.node = e.dst
+            ),
+            labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node),
+            clustered AS (
+              SELECT c.doc_id,
+                     coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+                     CAST(length(c.text) AS DOUBLE) AS score
+              FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   (row_number() OVER (
+                      PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
+                    ) = 1) AS survivor
+            FROM clustered
+        """,
+        "seen_replay": """
+            WITH batches AS (
+              SELECT concat('node/', CAST(c_custkey AS VARCHAR)) AS element_id,
+                     CAST((c_custkey * (7 + i)) % 3000 + 100 * i AS BIGINT) AS seen_at
+              FROM customer, (VALUES (0), (1), (2)) AS t(i)
+              WHERE c_custkey % 3 = i OR c_custkey % 5 = i
+            )
+            SELECT element_id,
+                   min(seen_at) AS first_seen,
+                   max(seen_at) AS last_seen
+            FROM batches GROUP BY element_id
+        """,
+        "image_features": _image_features_oracle_sql(),
     }
 
 

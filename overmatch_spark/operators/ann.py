@@ -89,15 +89,22 @@ def lsh_topk(
 # IVF (inverted-file) ANN: trained coarse quantizer + cluster-pruned search
 # ---------------------------------------------------------------------------
 
-def reference_ivf_centroids():
-    """The repo's pinned IVF quantizer — a CHECKED-IN trained artifact
+def reference_ivf_centroids(k: int = 16):
+    """The repo's pinned IVF quantizers — CHECKED-IN trained artifacts
     (overmatch_spark/artifacts.py), so Spark queries and DuckDB
     oracles share identical centroid literals without any runtime
-    dependency on the training file. See artifacts.py for provenance
-    and train_ivf_centroids for regeneration."""
-    from overmatch_spark.artifacts import IVF_CENTROIDS
+    dependency on the training file. k=16 is the oracle-checked
+    quantizer; k=64 is the production dial (better list concentration
+    at equal scan fraction — see BENCH/BASELINE.md recall curve).
+    See artifacts.py for provenance, scripts/train_ivf_artifact.py
+    for byte-exact regeneration."""
+    from overmatch_spark.artifacts import IVF_CENTROIDS, IVF_CENTROIDS_64
 
-    return IVF_CENTROIDS
+    if k == 16:
+        return IVF_CENTROIDS
+    if k == 64:
+        return IVF_CENTROIDS_64
+    raise ValueError(f"no pinned quantizer with k={k}")
 
 def train_ivf_centroids(
     vectors: list[list[float]], k: int = 16, iters: int = 5

@@ -314,6 +314,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs by iterative min-label
     propagation; the canonical survivor per component is its smallest
@@ -324,6 +325,15 @@ def dedup_clusters(
     the full survivor table a dedup pipeline feeds downstream
     (reference precedent for pair->group formation:
     /root/reference/api/load_matches.py:204-212).
+
+    `score_col` (requires `nodes` carrying that column) switches the
+    survivor policy from min-id to KEEP-BEST: the cluster's survivor
+    is its highest-scoring doc (ties -> smallest doc_id), the
+    standard corpus-dedup knob (e.g. keep the longest document).
+    Cluster ids stay min-id labels either way; the score is
+    deterministic data, so single-node oracles replay the choice
+    exactly. A map-side struct-max per cluster — no window, no skew
+    sensitivity.
 
     Scale: each round is two (node)-keyed shuffles — a neighbor-min
     pass plus a POINTER-JUMPING pass (my label's label), which makes
@@ -389,13 +399,37 @@ def dedup_clusters(
     out = lab.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+    if score_col is not None and nodes is None:
+        raise ValueError("score_col requires `nodes` carrying that column")
     if nodes is not None:
         all_nodes = nodes.select(F.col(nodes.columns[0]).alias("doc_id"))
         out = all_nodes.join(out, "doc_id", "left").select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         )
-    return out.withColumn("survivor", F.col("doc_id") == F.col("cluster_id"))
+    if score_col is None:
+        return out.withColumn("survivor", F.col("doc_id") == F.col("cluster_id"))
+    scored = out.join(
+        nodes.select(
+            F.col(nodes.columns[0]).alias("doc_id"),
+            F.col(score_col).cast("double").alias("_score"),
+        ),
+        "doc_id",
+    )
+    # keep-best: min(struct(-score, doc_id)) == (max score, tie min id);
+    # partial aggregate, so the shuffle carries one row per cluster
+    best = scored.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("_score")).alias("ns"), F.col("doc_id").alias("did"))
+        )["did"].alias("_best_id")
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("_best_id")).alias("survivor"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -124,7 +124,15 @@ def tag_diff(osm_tags: DataFrame, merged: DataFrame) -> DataFrame:
     """F21/D3/W6: per-key diff classification between an element's OSM
     tags and the merged Overture tags, "different" rows first then key
     order — TagComparisonTable.tsx:103-147. Inputs:
-    osm_tags(osm_id, tags map), merged(osm_id, merged_tags map)."""
+    osm_tags(osm_id, tags map), merged(osm_id, merged_tags map).
+
+    ORDERING CONTRACT: the diff-first order holds WITHIN each osm_id
+    (repartition on osm_id + sortWithinPartitions — one shuffle, no
+    global sort at scale); the DataFrame has NO total order across
+    osm_ids. A presentation sink that needs one globally-sorted file
+    should apply .coalesce(1).sortWithinPartitions(...) or an
+    orderBy itself — paying that single-reducer cost is the sink's
+    decision, not this operator's."""
     joined = osm_tags.join(merged, "osm_id", "full")
     keys = joined.select(
         "osm_id",

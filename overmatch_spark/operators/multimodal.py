@@ -74,7 +74,11 @@ AUDIO_SCHEMA = StructType(
 
 def extract_features(images: DataFrame) -> DataFrame:
     """Decode + per-image features (channel means, gray std, aspect).
-    One Arrow batch in, one out; zero per-row Python outside numpy."""
+    One Arrow batch in, one out; zero per-row Python outside numpy.
+    Feature floats are rounded to 1e-9 (the repo's engine-portability
+    convention, same as dedup.cosine): numpy strided reductions can
+    differ in the last ulp across processes/buffer alignments, and
+    rounding makes the output independent of where it was computed."""
 
     def gen(batches):
         import pandas as pd
@@ -84,10 +88,10 @@ def extract_features(images: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 px = decode(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
                 rows["image_id"].append(r.image_id)
-                rows["mean_r"].append(float(px[:, :, 0].mean()))
-                rows["mean_g"].append(float(px[:, :, 1].mean()))
-                rows["mean_b"].append(float(px[:, :, 2].mean()))
-                rows["std_gray"].append(float(px.mean(axis=2).std()))
+                rows["mean_r"].append(round(float(px[:, :, 0].mean()), 9))
+                rows["mean_g"].append(round(float(px[:, :, 1].mean()), 9))
+                rows["mean_b"].append(round(float(px[:, :, 2].mean()), 9))
+                rows["std_gray"].append(round(float(px.mean(axis=2).std()), 9))
                 rows["aspect"].append(float(r.w) / float(r.h))
             yield pd.DataFrame(rows)
 

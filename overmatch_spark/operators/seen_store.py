@@ -20,6 +20,22 @@ store matches the reference's cost model:
 Re-applying the same batch is idempotent (min/max upsert), so a
 streaming replay after a crash between manifest-commit and
 checkpoint-commit converges to the same state.
+
+Concurrency: the store is SINGLE-WRITER. merge_batch/compact take an
+O_CREAT|O_EXCL lock file for the whole read-modify-write (two
+concurrent writers would otherwise both read version N and the later
+os.replace would silently discard the earlier writer's buckets), and
+raise ConcurrentWriterError if another writer holds it. A writer that
+died leaves a stale lock; break_lock() clears it explicitly — the
+lock records its owner pid to make that call auditable. Readers never
+take the lock (they see the last committed manifest).
+
+Maintenance: every merge creates one new version directory holding
+only the touched buckets, so a long-lived store accretes one live
+directory per distinct touch-generation. compact() rewrites ALL
+buckets at a single new version and GCs the rest, bounding the store
+at n_buckets files in one directory; reads are byte-equal before and
+after (pytest-verified).
 """
 
 from __future__ import annotations
@@ -35,6 +51,11 @@ from overmatch_spark.operators.seen import upsert_seen
 
 _SCHEMA = "element_id string, first_seen long, last_seen long"
 MANIFEST = "_MANIFEST.json"
+LOCKFILE = "_WRITER.lock"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds the store's merge lock."""
 
 
 def bucket_of(element_id, n_buckets: int):
@@ -88,10 +109,42 @@ class PartitionedSeenStore:
             return self.spark.createDataFrame([], _SCHEMA)
         return self.spark.read.schema(_SCHEMA).parquet(*paths)
 
+    # -- writer lock -------------------------------------------------------
+    def _lock_path(self) -> str:
+        return os.path.join(self.store_dir, LOCKFILE)
+
+    def _acquire_lock(self) -> None:
+        try:
+            fd = os.open(self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                owner = open(self._lock_path()).read().strip()
+            except OSError:
+                owner = "?"
+            raise ConcurrentWriterError(
+                f"store {self.store_dir} is locked by writer pid={owner}; "
+                "the store is single-writer (see module docstring); if "
+                "that writer is dead, call break_lock()"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+
+    def _release_lock(self) -> None:
+        try:
+            os.remove(self._lock_path())
+        except FileNotFoundError:
+            pass
+
+    def break_lock(self) -> None:
+        """Remove a stale writer lock left by a dead writer. Only call
+        after confirming the owning process is gone."""
+        self._release_lock()
+
     # -- merge -------------------------------------------------------------
     def merge_batch(self, batch: DataFrame) -> list[int]:
         """MERGE a batch(element_id, seen_at) into the store, rewriting
-        only the touched buckets. Returns the touched bucket ids."""
+        only the touched buckets. Returns the touched bucket ids.
+        Raises ConcurrentWriterError if another writer holds the lock."""
         b = batch.select("element_id", "seen_at").withColumn(
             "bucket", bucket_of(F.col("element_id"), self.n_buckets)
         ).persist()
@@ -102,29 +155,64 @@ class PartitionedSeenStore:
             b.unpersist()
             return []
 
-        manifest = self.manifest()
-        version = manifest["version"] + 1
-        vdir = f"v{version:06d}"
-        out_path = os.path.join(self.store_dir, vdir)
+        self._acquire_lock()
+        try:
+            manifest = self.manifest()
+            version = manifest["version"] + 1
+            vdir = f"v{version:06d}"
+            out_path = os.path.join(self.store_dir, vdir)
 
-        existing = self.read(buckets=touched)
-        merged = upsert_seen(existing, b.drop("bucket")).withColumn(
-            "bucket", bucket_of(F.col("element_id"), self.n_buckets)
-        )
-        # one writer task per touched bucket: the store stays
-        # bucket-partitioned on disk without a bucket=... directory scan
-        merged.repartition(len(touched), "bucket").write.partitionBy(
-            "bucket"
-        ).mode("overwrite").parquet(out_path)
-        b.unpersist()
+            existing = self.read(buckets=touched)
+            merged = upsert_seen(existing, b.drop("bucket")).withColumn(
+                "bucket", bucket_of(F.col("element_id"), self.n_buckets)
+            )
+            # one writer task per touched bucket: the store stays
+            # bucket-partitioned on disk without a bucket=... directory scan
+            merged.repartition(len(touched), "bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(out_path)
+            b.unpersist()
 
-        for t in touched:
-            manifest["buckets"][str(t)] = os.path.join(vdir, f"bucket={t}")
-        manifest["version"] = version
-        manifest["n_buckets"] = self.n_buckets
-        self._commit(manifest)
-        self._gc(manifest)
+            for t in touched:
+                manifest["buckets"][str(t)] = os.path.join(vdir, f"bucket={t}")
+            manifest["version"] = version
+            manifest["n_buckets"] = self.n_buckets
+            self._commit(manifest)
+            self._gc(manifest)
+        finally:
+            self._release_lock()
         return touched
+
+    def compact(self) -> int:
+        """Rewrite EVERY live bucket at one new version and GC the
+        rest, so a long-lived store stops fragmenting into one
+        directory per touch-generation. State is unchanged (reads are
+        byte-equal pre/post); returns the new version. No-op on an
+        empty store."""
+        self._acquire_lock()
+        try:
+            manifest = self.manifest()
+            if not manifest["buckets"]:
+                return manifest["version"]
+            version = manifest["version"] + 1
+            vdir = f"v{version:06d}"
+            out_path = os.path.join(self.store_dir, vdir)
+            everything = self.read().withColumn(
+                "bucket", bucket_of(F.col("element_id"), self.n_buckets)
+            )
+            everything.repartition(self.n_buckets, "bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(out_path)
+            live = sorted(int(k) for k in manifest["buckets"])
+            manifest["buckets"] = {
+                str(t): os.path.join(vdir, f"bucket={t}") for t in live
+            }
+            manifest["version"] = version
+            self._commit(manifest)
+            self._gc(manifest)
+        finally:
+            self._release_lock()
+        return version
 
     # -- maintenance ---------------------------------------------------------
     def _gc(self, manifest: dict) -> None:

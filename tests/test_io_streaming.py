@@ -256,6 +256,90 @@ class TestStreamingIngest:
             before.reset_index(drop=True), after.reset_index(drop=True)
         )
 
+    def test_compaction_bounds_files_and_preserves_state(self, spark, tmp_path):
+        """After many touch-generations the store fragments into one
+        live version dir per generation; compact() must collapse it to
+        ONE version dir (bounded file count) while reads stay
+        byte-equal (same rows, same values)."""
+        import pandas as pd
+
+        from overmatch_spark.operators.seen_store import PartitionedSeenStore
+
+        store = PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=4)
+        for i in range(6):
+            store.merge_batch(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {"element_id": [f"n{i}", f"n{i + 1}"],
+                         "seen_at": [i * 10, i * 10 + 1]}
+                    )
+                )
+            )
+        before = (
+            store.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        )
+        vdirs_before = {
+            rel.split(os.sep)[0] for rel in store.manifest()["buckets"].values()
+        }
+        assert len(vdirs_before) > 1  # fragmented across generations
+
+        v = store.compact()
+        after = (
+            store.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
+        man = store.manifest()
+        assert man["version"] == v
+        vdirs_after = {rel.split(os.sep)[0] for rel in man["buckets"].values()}
+        assert len(vdirs_after) == 1  # one live version dir
+        # GC removed every stale generation from disk
+        on_disk = {
+            e for e in os.listdir(store.store_dir)
+            if e.startswith("v") and os.path.isdir(os.path.join(store.store_dir, e))
+        }
+        assert on_disk == vdirs_after
+        # compacting again is a cheap stable no-op on state
+        store.compact()
+        pd.testing.assert_frame_equal(
+            after,
+            store.read().toPandas().sort_values("element_id").reset_index(drop=True),
+        )
+
+    def test_second_writer_is_rejected(self, spark, tmp_path):
+        """The store is single-writer: a concurrent merge_batch must
+        raise instead of silently losing the first writer's buckets
+        (lost-update protection), and break_lock() recovers from a
+        dead writer's stale lock."""
+        import pandas as pd
+
+        from overmatch_spark.operators.seen_store import (
+            ConcurrentWriterError,
+            PartitionedSeenStore,
+        )
+
+        store = PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=4)
+        batch = spark.createDataFrame(
+            pd.DataFrame({"element_id": ["a", "b"], "seen_at": [1, 2]})
+        )
+        store.merge_batch(batch)
+
+        # simulate another live writer holding the lock
+        store._acquire_lock()
+        try:
+            with pytest.raises(ConcurrentWriterError):
+                store.merge_batch(batch)
+            with pytest.raises(ConcurrentWriterError):
+                store.compact()
+        finally:
+            store.break_lock()
+        # lock released (e.g. stale lock broken) -> writes proceed
+        store.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["c"], "seen_at": [3]})
+            )
+        )
+        assert len(store.read().toPandas()) == 3
+
     def test_stateful_sessionization_stream_equals_batch(self, spark, tmp_path):
         """The applyInPandasWithState sessionizer must assign exactly
         the same (event -> session) mapping as the window-function

@@ -358,6 +358,34 @@ class TestIvf:
         assert got["cand_id"].tolist() == want["cand_id"].tolist()
         assert (got["cos_sim"] == want["cos_sim"]).all()
 
+    def test_pinned_dial_reaches_recall80(self, spark):
+        """The documented retrieval dial (pinned k=64 quantizer,
+        nprobe=32) must keep recall@5 >= 0.8 — the serviceable-recall
+        criterion from the round-2 review. The driver embeddings are
+        near-isotropic, so this dial scans ~half the lists; on
+        clustered real embeddings the same dial scans far less."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.ann import (
+            brute_force_topk,
+            ivf_topk,
+            reference_ivf_centroids,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        probes = e.filter(F.col("vec_id") < 30)
+        truth = brute_force_topk(e, probes, "embedding", "vec_id", k=5).select(
+            "probe_id", "cand_id"
+        )
+        got = ivf_topk(
+            e, probes, "embedding", "vec_id",
+            reference_ivf_centroids(64), k=5, nprobe=32,
+        ).select("probe_id", "cand_id")
+        n_truth = truth.count()
+        hit = got.join(truth, ["probe_id", "cand_id"], "left_semi").count()
+        assert n_truth == 150
+        assert hit / n_truth >= 0.8, f"recall@5 {hit / n_truth:.3f} < 0.8"
+
 
 class TestSimhashHamming:
     def test_pigeonhole_blocking_is_exact(self, spark):
