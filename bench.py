@@ -145,9 +145,11 @@ def main():
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    # input materialization, same rationale as the layers
     docs_dup = docs.unionByName(
         docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
-    )
+    ).persist()
+    docs_dup.count()
     best_of(
         "minhash_dedup",
         lambda: minhash_lsh_pairs(docs_dup, "text", "doc_id"),

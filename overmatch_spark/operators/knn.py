@@ -49,6 +49,19 @@ resolution: a ~300 m upper bound covered by ~4.9 km cells drags in
 Tie-break: (rint(dist*1000), id) — millimeter-rounded distance then
 lexicographic id, so single-node oracles (numpy spec, DuckDB)
 reproduce it without last-ulp ambiguity.
+
+Why the fallback is NOT fused into the conflation join (considered
+twice, rejected deliberately): emitting a per-probe best-candidate
+byproduct from conflate's cell join requires either (a) persisting
+the RAW pre-filter candidate stream — at 10^12-image scale an
+unbounded cache whose spill cost dwarfs the bounded second cell join
+it would save — or (b) re-executing the join on a narrow projection,
+which is exactly what phase 1 already is. Matched probes need no
+fallback and unmatched probes' match rows don't exist, so the cheap
+byproduct (aggregating the persisted MATCH table) cannot hint the
+rows this operator serves. The two-phase design keeps conflation's
+plan clean and bounds every fallback structure (covers <= 6x6 cells,
+histogram <= broadcast budget, shuffles one row per probe).
 """
 
 from __future__ import annotations
