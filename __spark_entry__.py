@@ -970,6 +970,55 @@ def _image_features_oracle_sql() -> str:
     """
 
 
+def _phash_corpus_rows() -> list[tuple[str, int]]:
+    """Deterministic phash corpus: each fixture image plus a variant
+    whose phash flips 1, 3, or 5 distinct bits (by index class) —
+    hamming 1/3 pairs must be found at k=3, hamming-5 must not, and
+    unrelated images differ by ~32 bits."""
+    from overmatch_spark.fixtures import make_images
+
+    rows: list[tuple[str, int]] = []
+    pdf = make_images(_IMAGE_FEATURES_N, with_bytes=False)
+    for j, r in enumerate(pdf.itertuples(index=False)):
+        rows.append((r.image_id, int(r.phash)))
+        nb = (1, 3, 5)[j % 3]
+        mask = 0
+        for t in range(nb):
+            mask |= 1 << ((j * 7 + t * 11) % 64)
+        u = (int(r.phash) & 0xFFFFFFFFFFFFFFFF) ^ mask
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        rows.append((r.image_id + "/v", signed))
+    return rows
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup: image near-dup pairs by 64-bit perceptual-
+    hash hamming <= 3, exact pigeonhole blocking (bytes never join)."""
+    from overmatch_spark.operators.multimodal import phash_near_dups
+
+    corpus = spark.createDataFrame(
+        _phash_corpus_rows(), "image_id string, phash long"
+    ).repartition(8)
+    return phash_near_dups(corpus, "phash", "image_id", k=3)
+
+
+def _phash_near_dups_oracle_sql() -> str:
+    values = ",\n              ".join(
+        f"('{i}', CAST({p} AS BIGINT))" for i, p in _phash_corpus_rows()
+    )
+    return f"""
+        WITH t AS (
+          SELECT * FROM (VALUES
+              {values}
+          ) AS v(image_id, phash)
+        )
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM t a JOIN t b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN multi-probe LSH top-5: probes also search the 2 buckets
     reached by flipping their lowest-|margin| sign bits."""
@@ -1243,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "seen_replay": q_seen_replay,
         "image_features": q_image_features,
+        "phash_near_dups": q_phash_near_dups,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
@@ -1469,7 +1519,7 @@ def _oracle_sql_extended() -> dict[str, str]:
     """
 
     sh = dd.sql_shingles("text", 3)
-    sig_items = ", ".join(dd.sql_minhash_sig_item("sh", j) for j in range(16))
+    sig_items = ", ".join(dd.sql_minhash_sig_item("th", j) for j in range(16))
     minhash_cte = f"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents
@@ -1480,7 +1530,8 @@ def _oracle_sql_extended() -> dict[str, str]:
           FROM documents
         ),
         shing AS (SELECT doc_id, {sh} AS sh FROM corpus),
-        sig AS (SELECT doc_id, sh, [{sig_items}] AS sig FROM shing),
+        hashed AS (SELECT doc_id, sh, {dd.sql_minhash_token_hashes('sh')} AS th FROM shing),
+        sig AS (SELECT doc_id, sh, [{sig_items}] AS sig FROM hashed),
         banded AS (
           SELECT doc_id, sh, band,
                  concat(CAST(sig[band * 2 + 1] AS VARCHAR), ',',
@@ -1828,6 +1879,7 @@ def _oracle_sql_extended() -> dict[str, str]:
             FROM batches GROUP BY element_id
         """,
         "image_features": _image_features_oracle_sql(),
+        "phash_near_dups": _phash_near_dups_oracle_sql(),
     }
 
 

@@ -85,21 +85,77 @@ def sql_shingles(text: str, k: int = 3) -> str:
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signature(sh: Column, num_hashes: int) -> Column:
-    """Array of num_hashes minhash values over a shingle array."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda t, j=j: h60(F.concat(F.lit(f"{j}:"), t)))
+# Minhash permutation space: largest prime < 2^30. a*h + b stays
+# under 2^60 for h, a, b < P — exact int64 arithmetic in BOTH engines
+# (DuckDB BIGINT errors on overflow rather than wrapping, so the
+# bound is what makes the SQL twin byte-identical, not just close).
+P_MINHASH = 1_073_741_789
+
+
+def _minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) permutation constants — md5-derived
+    plan literals, identical on any engine/host (a_j != 0)."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        a = (
+            int(hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()[:15], 16)
+            % (P_MINHASH - 1)
+        ) + 1
+        b = int(
+            hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()[:15], 16
+        ) % P_MINHASH
+        out.append((a, b))
+    return out
+
+
+def minhash_token_hashes(sh: Column) -> Column:
+    """ONE portable md5 per shingle, reduced into the permutation
+    space. The num_hashes minhash values are then cheap integer
+    permutations of these — not num_hashes separate string hashes
+    per shingle (the naive form costs 16 md5s per shingle; this is
+    the classic universal-hashing minhash and is ~10x cheaper in the
+    kernel)."""
+    return F.transform(sh, lambda t: h60(t) % F.lit(P_MINHASH))
+
+
+def minhash_signature_from_hashes(th: Column, num_hashes: int) -> Column:
+    """Array of num_hashes minhash values from a token-hash array:
+    min over tokens of (a_j * h + b_j) mod P."""
+
+    def perm_min(a: int, b: int) -> Column:
+        # single-arg lambda: pyspark dispatches higher-order-function
+        # lambdas by parameter count, so constants must be closed
+        # over, not passed as defaulted parameters
+        return F.array_min(
+            F.transform(
+                th, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P_MINHASH)
             )
-            for j in range(num_hashes)
-        ]
+        )
+
+    return F.array(
+        *[perm_min(a, b) for a, b in _minhash_perm_consts(num_hashes)]
     )
 
 
-def sql_minhash_sig_item(sh: str, j: int) -> str:
-    inner = sql_h60(f"'{j}:' || t")
-    return f"list_min(list_transform({sh}, t -> {inner}))"
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """Array of num_hashes minhash values over a shingle array.
+    Prefer materializing minhash_token_hashes once (as
+    minhash_lsh_pairs does) so the md5 runs once per shingle."""
+    return minhash_signature_from_hashes(minhash_token_hashes(sh), num_hashes)
+
+
+def sql_minhash_token_hashes(sh: str) -> str:
+    return f"list_transform({sh}, t -> ({sql_h60('t')} % {P_MINHASH}))"
+
+
+def sql_minhash_sig_item(th: str, j: int) -> str:
+    a, b = _minhash_perm_consts(j + 1)[j]
+    return (
+        f"list_min(list_transform({th}, "
+        f"h -> ({a} * h + {b}) % {P_MINHASH}))"
+    )
 
 
 def minhash_lsh_pairs(
@@ -110,16 +166,28 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 3,
+    caches: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with
-    id_a < id_b."""
+    id_a < id_b.
+
+    `caches`: when given, the (doc_id, shingles, token-hashes) base
+    is persisted into it (caller unpersists after materializing) so
+    the shingle/string work runs ONCE instead of once per consumer
+    (signature + each verify side). Without it the attach sides
+    recompute only the shingles (column pruning drops the hashes)."""
     num_hashes = bands * rows_per_band
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("th", minhash_token_hashes(F.col("sh")))
+    if caches is not None:
+        base = base.persist()
+        caches.append(base)
+    sig = base.withColumn(
+        "sig", minhash_signature_from_hashes(F.col("th"), num_hashes)
     )
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
     # Candidate generation carries ONLY (band, key, doc_id): the
     # shingle arrays must NOT ride the band self-join — that would
@@ -229,19 +297,31 @@ def simhash_hamming_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= k, found
-    EXACTLY via pigeonhole blocking: the 60-bit signature splits into
-    k+1 blocks — any pair within hamming k agrees exactly on at least
-    one block (k flipped bits can dirty at most k blocks). Bucket
-    self-join per (block index, block value), dedup candidate pairs,
-    verify with bit_count(xor) — signatures are single longs, so
-    carrying them through the block join shuffles 8 bytes, not
-    payloads. Returns (id_a, id_b, hamming)."""
-    nblocks = k + 1
-    per = SIMHASH_BITS // nblocks
+    EXACTLY via pigeonhole blocking — see hamming_pairs (the generic
+    machinery, shared with image phash dedup). Returns
+    (id_a, id_b, hamming)."""
     sig = df.select(
         F.col(id_col).alias("doc_id"),
         simhash(shingles(F.col(text_col), shingle_k)).alias("sig"),
     )
+    return hamming_pairs(sig, k=k, bits=SIMHASH_BITS)
+
+
+def hamming_pairs(
+    sig: DataFrame, k: int = 3, bits: int = 60
+) -> DataFrame:
+    """All pairs with hamming(sig) <= k over sig(doc_id, sig long),
+    found EXACTLY via pigeonhole blocking: the `bits`-bit signature
+    splits into k+1 blocks — any pair within hamming k agrees exactly
+    on at least one block (k flipped bits can dirty at most k
+    blocks). Bucket self-join per (block index, block value), dedup
+    candidate pairs, verify with bit_count(xor) — signatures are
+    single longs, so carrying them through the block join shuffles 8
+    bytes, not payloads. Works for any integer signature: 60-bit
+    text simhash, 64-bit image phash. Returns (id_a, id_b, hamming).
+    """
+    nblocks = k + 1
+    per = bits // nblocks
     blocks = sig.select(
         "doc_id",
         "sig",

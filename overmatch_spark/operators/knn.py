@@ -327,18 +327,31 @@ def knn_fallback(
     reg.append(ubs)
 
     # ---- phase 2, step 2: ladder equi-join at each probe's level ----
-    probe2 = ubs.select(
+    # FINE path (lvl == res0, the overwhelming majority — every hinted
+    # probe lands here because a phase-1 candidate is at most
+    # ~sqrt(2)*(r1+edge) < 4*edge away): covers explode at res0 and
+    # join the SAME b-side projection/key as phase 1, so the build
+    # side needs no extra enumeration and the exchange is reusable.
+    fine = ubs.filter(F.col("lvl") == F.lit(res0))
+    cand_f = fine.select(
+        "osm_id", "ax", "ay", "ub",
+        F.explode(
+            _dynamic_cover(F.col("ax"), F.col("ay"), F.col("ub"), res0)
+        ).alias("cell"),
+    ).join(b.select("cell", "overture_id", "bx", "by"), "cell").drop("cell")
+    # COARSE path (rare: probes whose nearest is beyond 2*edge(res0)):
+    # build side enumerates only the coarse ladder levels any such
+    # probe actually chose — a broadcast hash semi-join on the level
+    # id, NOT a second nested-loop join; empty when no probe is coarse
+    coarse = ubs.filter(F.col("lvl") < F.lit(res0))
+    probe_c = coarse.select(
         "osm_id", "ax", "ay", "ub", "lvl",
         F.explode(
             _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
         ).alias("lcell"),
     )
-    # build side: enumerate ladder levels, semi-join-pruned to the
-    # levels any straggler actually chose (typically just res0) —
-    # a broadcast hash semi-join on the level id, NOT a second
-    # nested-loop join, and the explode+filter never shuffles
-    levels = F.array(*[F.lit(r) for r in range(res0, -1, -2)])
-    needed = ubs.select("lvl").distinct()
+    levels = F.array(*[F.lit(r) for r in range(res0 - 2, -1, -2)])
+    needed = coarse.select("lvl").distinct()
     b_ladder = (
         b0.withColumn("lvl", F.explode(levels))
         .join(F.broadcast(needed), "lvl", "left_semi")
@@ -353,8 +366,9 @@ def knn_fallback(
         .withColumn("lcell", X.cell_id(F.col("bix"), F.col("biy")))
         .drop("bix", "biy")
     )
+    cand_c = probe_c.join(b_ladder, ["lvl", "lcell"]).drop("lvl", "lcell")
     cand2 = (
-        probe2.join(b_ladder, ["lvl", "lcell"])
+        cand_f.unionByName(cand_c)
         .withColumn(
             "dist",
             X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),

@@ -100,6 +100,29 @@ def extract_features(images: DataFrame) -> DataFrame:
     )
 
 
+def phash_near_dups(
+    images: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    k: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance <= k —
+    EXACT via the shared pigeonhole blocking (dedup.hamming_pairs,
+    64-bit signatures, k+1 blocks). The input table's phash int64
+    column (BASELINE.json input_hint) is the signature; image BYTES
+    never enter the join — only (block, 8-byte sig, id) rides the
+    shuffle, the core multimodal-dedup discipline at 10^12 images.
+    Returns (id_a, id_b, hamming)."""
+    from pyspark.sql import functions as F
+
+    from overmatch_spark.operators.dedup import hamming_pairs
+
+    sig = images.select(
+        F.col(id_col).alias("doc_id"), F.col(phash_col).alias("sig")
+    )
+    return hamming_pairs(sig, k=k, bits=64)
+
+
 def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize (numpy index sampling); output re-encoded
     with the same fmt. A real bilinear/Lanczos would replace the

@@ -387,6 +387,46 @@ class TestIvf:
         assert hit / n_truth >= 0.8, f"recall@5 {hit / n_truth:.3f} < 0.8"
 
 
+class TestPhashNearDups:
+    def test_pigeonhole_blocking_is_exact_on_64bit(self, spark):
+        """phash_near_dups must find EXACTLY the image pairs within
+        hamming k over the full 64-bit signature (incl. negative
+        longs / high bits) — compare to brute-force all-pairs."""
+        import itertools
+
+        from overmatch_spark.fixtures import make_images
+        from overmatch_spark.operators.multimodal import phash_near_dups
+
+        pdf = make_images(40, with_bytes=False)[["image_id", "phash"]]
+        rows = []
+        for j, r in enumerate(pdf.itertuples(index=False)):
+            rows.append((r.image_id, int(r.phash)))
+            nb = (1, 2, 3, 4)[j % 4]
+            mask = 0
+            for t in range(nb):
+                mask |= 1 << ((j * 13 + t * 17) % 64)
+            u = (int(r.phash) & 0xFFFFFFFFFFFFFFFF) ^ mask
+            rows.append(
+                (r.image_id + "/v", u - (1 << 64) if u >= (1 << 63) else u)
+            )
+
+        k = 3
+        want = set()
+        for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
+            h = bin((pa ^ pb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= k:
+                key = (ia, ib) if ia < ib else (ib, ia)
+                want.add((*key, h))
+
+        corpus = spark.createDataFrame(rows, "image_id string, phash long")
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in phash_near_dups(corpus, "phash", "image_id", k=k).collect()
+        }
+        assert got == want
+        assert len(got) >= 20  # the 1/2/3-bit variants are all found
+
+
 class TestSimhashHamming:
     def test_pigeonhole_blocking_is_exact(self, spark):
         """simhash_hamming_pairs must find EXACTLY the pairs within
