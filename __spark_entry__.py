@@ -928,6 +928,29 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (rolling word k-gram
+    hashes, window-min selection, stop-fingerprint df cap): docs
+    sharing >= 5 fingerprints — catches long shared passages, not
+    just whole-doc similarity."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import winnow_pairs
+
+    d = (
+        demo.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+    words = F.split(F.col("text"), " ")
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    )
+    corpus = d.unionByName(trunc)
+    return winnow_pairs(corpus, "text", "doc_id", k=4, w=4, min_shared=5,
+                        max_df=8)
+
+
 _IMAGE_FEATURES_N = 60
 
 
@@ -1293,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_replay": q_seen_replay,
         "image_features": q_image_features,
         "phash_near_dups": q_phash_near_dups,
+        "winnow_pairs": q_winnow_pairs,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
@@ -1880,6 +1904,33 @@ def _oracle_sql_extended() -> dict[str, str]:
         """,
         "image_features": _image_features_oracle_sql(),
         "phash_near_dups": _phash_near_dups_oracle_sql(),
+        "winnow_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(list_slice(string_split(text, ' '), 1,
+                       len(string_split(text, ' ')) - 2), ' ')
+              FROM documents WHERE doc_id < 250
+            ),
+            gh AS (
+              SELECT doc_id, {dd.sql_winnow_gram_hashes('text', 4)} AS h
+              FROM corpus
+            ),
+            fps0 AS (
+              SELECT doc_id, unnest({dd.sql_winnow_mins('h', 4)}) AS fp
+              FROM gh
+            ),
+            keep AS (
+              SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 8
+            ),
+            fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN keep USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 5
+        """,
     }
 
 

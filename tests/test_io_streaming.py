@@ -419,6 +419,67 @@ class TestStreamingIngest:
                 == want["session_idx"].to_numpy()).all()
         assert (got["ts_us"].to_numpy() == want["ts_us"].to_numpy()).all()
 
+    def test_streaming_dedup_equals_batch(self, spark, tmp_path):
+        """dedup_stream (watermarked dropDuplicatesWithinWatermark)
+        must keep exactly the rows the batch first-arrival form keeps
+        when duplicates arrive within the watermark horizon, in
+        event-time order across micro-batches."""
+        import json as _json
+
+        from overmatch_spark.streaming.dedup_stream import (
+            dedup_batch,
+            dedup_stream,
+        )
+
+        # 30 docs, every third a duplicate text arriving 60s later
+        rows = []
+        for i in range(30):
+            text = f"document body number {i % 10}"  # 10 distinct texts
+            ts = 1_700_000_000 + (i % 10) * 10 + (i // 10) * 600
+            rows.append({"doc_id": i, "text": text, "ts": ts})
+        rows.sort(key=lambda r: r["ts"])
+
+        inp = tmp_path / "dedup_in"
+        inp.mkdir()
+        for i in range(3):
+            chunk = rows[i * 10:(i + 1) * 10]
+            p = inp / f"part{i}.json"
+            with open(p, "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+        schema = "doc_id long, text string, ts long"
+        batch_in = spark.read.schema(schema).json(str(inp)).withColumn(
+            "ts", F.timestamp_seconds(F.col("ts"))
+        )
+        want = sorted(
+            r["doc_id"] for r in dedup_batch(batch_in).select("doc_id").collect()
+        )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+            .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+        )
+        q = (
+            dedup_stream(stream, delay="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r["doc_id"]
+            for r in spark.sql("SELECT doc_id FROM dedup_out").collect()
+        )
+        assert got == want
+        assert len(got) == 10  # one survivor per distinct text
+
     def test_windowed_event_counts_batch_parity(self, spark):
         from overmatch_spark.streaming.ingest import windowed_event_counts
 

@@ -387,6 +387,54 @@ class TestIvf:
         assert hit / n_truth >= 0.8, f"recall@5 {hit / n_truth:.3f} < 0.8"
 
 
+class TestWinnowing:
+    def test_shared_span_guarantees_shared_fingerprint(self, spark):
+        """The winnowing invariant: any two docs sharing a span of
+        >= k + w - 1 words MUST share at least one fingerprint; and
+        the pair detector finds exactly the pairs the per-doc
+        fingerprint sets imply."""
+        import itertools
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.dedup import winnow_hashes, winnow_pairs
+
+        k, w = 3, 3
+        span = "alpha beta gamma delta epsilon"  # 5 words = k + w - 1
+        docs = {
+            1: f"one two three {span} four five six",
+            2: f"{span} seven eight nine ten eleven",
+            3: "twelve thirteen fourteen fifteen sixteen seventeen",
+            4: f"eighteen nineteen {span}",
+        }
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        )
+        fps = {
+            r["doc_id"]: set(r["fps"])
+            for r in df.select(
+                "doc_id", winnow_hashes(F.col("text"), k, w).alias("fps")
+            ).collect()
+        }
+        # the span-sharing docs must intersect; doc 3 must not
+        assert fps[1] & fps[2] and fps[1] & fps[4] and fps[2] & fps[4]
+        assert not (fps[3] & (fps[1] | fps[2] | fps[4]))
+
+        got = {
+            (r["id_a"], r["id_b"]): r["shared"]
+            for r in winnow_pairs(
+                df, "text", "doc_id", k=k, w=w, min_shared=1, max_df=None
+            ).collect()
+        }
+        want = {
+            (a, b): len(fps[a] & fps[b])
+            for a, b in itertools.combinations(sorted(docs), 2)
+            if fps[a] & fps[b]
+        }
+        assert got == want
+
+
 class TestPhashNearDups:
     def test_pigeonhole_blocking_is_exact_on_64bit(self, spark):
         """phash_near_dups must find EXACTLY the image pairs within
