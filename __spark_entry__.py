@@ -928,6 +928,19 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic radius join (public API): all (a, b) pairs within
+    120 m — the cell-join machinery without matcher semantics. The
+    demo grid's >=145.5 m cross-pair isolation makes the oracle a
+    closed-form key equi-join at this radius."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.conflate import spatial_join
+
+    a = demo.spark_layer_a(spark, sf_dir)
+    b = demo.spark_layer_b(spark, sf_dir)
+    return spatial_join(a, b, radius_m=120.0)
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint overlap pairs (rolling word k-gram
     hashes, window-min selection, stop-fingerprint df cap): docs
@@ -1317,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "phash_near_dups": q_phash_near_dups,
         "winnow_pairs": q_winnow_pairs,
+        "spatial_join": q_spatial_join,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
@@ -1904,6 +1918,13 @@ def _oracle_sql_extended() -> dict[str, str]:
         """,
         "image_features": _image_features_oracle_sql(),
         "phash_near_dups": _phash_near_dups_oracle_sql(),
+        "spatial_join": f"""
+            {layers}
+            SELECT a.osm_id AS a_id, b.id AS b_id,
+                   {X.sql_round1(X.sql_planar_distance(X.sql_merc_x('a.lon'), X.sql_merc_y('a.lat'), X.sql_merc_x('b.lon'), X.sql_merc_y('b.lat')))} AS distance_m
+            FROM layer_a a JOIN layer_b b ON a.key = b.key
+            WHERE {X.sql_planar_distance(X.sql_merc_x('a.lon'), X.sql_merc_y('a.lat'), X.sql_merc_x('b.lon'), X.sql_merc_y('b.lat'))} <= 120.0
+        """,
         "winnow_pairs": f"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 250

@@ -199,6 +199,69 @@ def conflate(
     )
 
 
+def spatial_join(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    radius_m: float,
+    res: int = DEFAULT_RES,
+    a_id: str = "osm_id",
+    b_id: str = "id",
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Generic distance join — all (a, b) pairs within radius_m
+    planar meters — as a PUBLIC operator: the conflation machinery
+    (cell cover explode -> equi-join -> exact distance refinement)
+    without the matcher's name/housenumber semantics. Inputs need
+    (id, lon, lat); returns (a_id, b_id, distance_m rounded 0.1).
+    Same physical properties as conflate: probe-side cover explode,
+    one hash equi-join on the cell key, codegen distance filter;
+    output invariant to `res`."""
+    a = layer_a.select(
+        F.col(a_id).alias("a_id"),
+        X.merc_x(F.col("lon")).alias("ax"),
+        X.merc_y(F.col("lat")).alias("ay"),
+    ).withColumn(
+        "cell",
+        F.explode(X.cover_cells(F.col("ax"), F.col("ay"), res, radius_m)),
+    )
+    b = layer_b.select(
+        F.col(b_id).alias("b_id"),
+        X.merc_x(F.col("lon")).alias("bx"),
+        X.merc_y(F.col("lat")).alias("by"),
+    ).withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res))
+    right = F.broadcast(b) if broadcast_b else b
+    dist = X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+    return (
+        a.join(right, "cell")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(radius_m))
+        .select(
+            "a_id", "b_id", X.round1(F.col("dist")).alias("distance_m")
+        )
+    )
+
+
+def nearest_join(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    res0: int = 16,
+    coarse_res: int = 13,
+    caches: list | None = None,
+) -> DataFrame:
+    """Exact nearest-neighbor join as a PUBLIC operator: for every
+    named layer_a row, its single nearest layer_b row — the kNN
+    fallback (operators.knn) with an empty exclusion set. Returns
+    (osm_id, overture_id, distance_m)."""
+    from overmatch_spark.operators.knn import knn_fallback
+
+    spark = layer_a.sparkSession
+    empty = spark.createDataFrame([], "osm_id string")
+    return knn_fallback(
+        layer_a, layer_b, empty, res0=res0, coarse_res=coarse_res,
+        caches=caches,
+    )
+
+
 def attach_payload(matches: DataFrame, payload: DataFrame, key: str,
                    payload_key: str) -> DataFrame:
     """Re-attach wide/heavy columns (image bytes, full tag structs) by

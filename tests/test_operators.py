@@ -557,6 +557,57 @@ class TestSimhashHamming:
         assert got["survivor"].sum() == 1
 
 
+class TestPublicSpatialApi:
+    def test_spatial_join_and_nearest_join(self, spark):
+        """The generic public wrappers: spatial_join returns exactly
+        the pairs within the radius (cell-cover boundary effects
+        included), nearest_join the single nearest per named row."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.expressions import R_MERC
+        from overmatch_spark.operators.conflate import nearest_join, spatial_join
+
+        def lonlat(x_m, y_m):
+            lon = x_m / R_MERC * 180.0 / math.pi
+            lat = (
+                (math.atan(math.exp(y_m / R_MERC)) * 2.0 - math.pi / 2.0)
+                * 180.0 / math.pi
+            )
+            return lon, lat
+
+        a_pts = {"a1": (0.0, 0.0), "a2": (10_000.0, 0.0)}
+        b_pts = {
+            "b1": (30.0, 40.0),      # 50 m from a1
+            "b2": (150.0, 0.0),      # 150 m from a1
+            "b3": (10_000.0, 90.0),  # 90 m from a2
+            "b4": (200_000.0, 0.0),  # far from both
+        }
+        a = spark.createDataFrame(
+            [(k, *lonlat(*v)) for k, v in a_pts.items()],
+            "osm_id string, lon double, lat double",
+        ).withColumn("name", F.lit("x")).withColumn(
+            "housenumber", F.lit(None).cast("string")
+        )
+        b = spark.createDataFrame(
+            [(k, *lonlat(*v)) for k, v in b_pts.items()],
+            "id string, lon double, lat double",
+        )
+        got = {
+            (r["a_id"], r["b_id"]): r["distance_m"]
+            for r in spatial_join(a, b, radius_m=100.0).collect()
+        }
+        assert set(got) == {("a1", "b1"), ("a2", "b3")}
+        assert abs(got[("a1", "b1")] - 50.0) < 0.2  # ~mercator scale only
+
+        nn = {
+            r["osm_id"]: r["overture_id"]
+            for r in nearest_join(a, b).collect()
+        }
+        assert nn == {"a1": "b1", "a2": "b3"}
+
+
 class TestTags:
     def test_website_chain(self, spark):
         from pyspark.sql import functions as F
