@@ -928,6 +928,23 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival-wins exact dedup (the batch twin of
+    streaming/dedup_stream): duplicates injected with later
+    arrival times must lose to the original."""
+    from overmatch_spark import demo
+    from overmatch_spark.streaming.dedup_stream import dedup_batch
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dup).withColumn(
+        "ts", (F.col("doc_id") % 500000) * 10 + (F.col("doc_id") >= 500000).cast("long")
+    )
+    return dedup_batch(corpus, "text", "ts")
+
+
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic radius join (public API): all (a, b) pairs within
     120 m — the cell-join machinery without matcher semantics. The
@@ -1331,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "winnow_pairs": q_winnow_pairs,
         "spatial_join": q_spatial_join,
+        "dedup_first_arrival": q_dedup_first_arrival,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
@@ -1924,6 +1942,22 @@ def _oracle_sql_extended() -> dict[str, str]:
                    {X.sql_round1(X.sql_planar_distance(X.sql_merc_x('a.lon'), X.sql_merc_y('a.lat'), X.sql_merc_x('b.lon'), X.sql_merc_y('b.lat')))} AS distance_m
             FROM layer_a a JOIN layer_b b ON a.key = b.key
             WHERE {X.sql_planar_distance(X.sql_merc_x('a.lon'), X.sql_merc_y('a.lat'), X.sql_merc_x('b.lon'), X.sql_merc_y('b.lat'))} <= 120.0
+        """,
+        "dedup_first_arrival": """
+            WITH corpus AS (
+              SELECT doc_id, text, doc_id * 10 AS ts FROM documents
+              UNION ALL
+              SELECT doc_id + 500000, text, doc_id * 10 + 1
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            ranked AS (
+              SELECT doc_id, text, ts, md5(text) AS content_hash,
+                     row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY ts, doc_id
+                     ) AS rn
+              FROM corpus
+            )
+            SELECT doc_id, text, ts, content_hash FROM ranked WHERE rn = 1
         """,
         "winnow_pairs": f"""
             WITH corpus AS (

@@ -76,7 +76,11 @@ if __name__ == "__main__":
         "alu_mops": alu_ops(),
         "stream_eff_2to8": stream_eff(),
     }
+    # scaling-ratio quality: fsync + stream controls; ABSOLUTE-time
+    # quality additionally needs an uncontended CPU (observed range on
+    # this box: ~14 Mops heavily contended .. ~28 Mops clean)
     out["good_window"] = bool(
         out["tmp_fsync_mbps"] > 150 and out["stream_eff_2to8"] > 0.70
     )
+    out["good_cpu_window"] = bool(out["good_window"] and out["alu_mops"] > 24)
     print(json.dumps(out))
