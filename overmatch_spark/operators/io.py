@@ -93,3 +93,39 @@ def latest_release(df: DataFrame, col: str = "release") -> DataFrame:
     """S7/A5: lexicographic max of release prefixes
     (get_latest_overture_release.py:4-10)."""
     return df.agg(F.max(col).alias("latest"))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout (co-located joins at rest)
+# ---------------------------------------------------------------------------
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table BUCKETED on a join key — the at-rest layout
+    that lets Spark skip the shuffle on that side of every subsequent
+    equi-join on the key (plan-checked in tests: the bucketed scan
+    feeds the join with NO Exchange above it). This is the storage
+    half of the conflation plan at 100 TB: the corpus layer lives
+    bucketed by cell id (with Iceberg, a bucket partition transform),
+    so each nightly conflation run shuffles ONLY the probe side.
+    `sort_col` additionally sorts within buckets (sort-merge joins
+    then skip the sort too)."""
+    w = df.write.mode("overwrite").format("parquet").option("path", path)
+    if sort_col is not None:
+        w = w.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(num_buckets, bucket_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table registered by write_bucketed (the bucket
+    metadata lives in the catalog — a plain parquet path read would
+    lose it and reintroduce the shuffle)."""
+    return spark.table(table)
