@@ -928,6 +928,28 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call corpus dedup (pairs -> clusters -> keep-longest
+    survivors -> surviving rows): truncated near-dups lose to their
+    longer originals; all original columns survive."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.dedup import dedup_corpus
+
+    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    )
+    corpus = d.unionByName(trunc).withColumn(
+        "score", F.length("text").cast("double")
+    )
+    return dedup_corpus(
+        corpus, "text", "doc_id", bands=8, rows_per_band=2,
+        jaccard_threshold=0.5, score_col="score",
+    )
+
+
 def q_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-arrival-wins exact dedup (the batch twin of
     streaming/dedup_stream): duplicates injected with later
@@ -1349,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "spatial_join": q_spatial_join,
         "dedup_first_arrival": q_dedup_first_arrival,
+        "dedup_corpus": q_dedup_corpus,
         "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
@@ -1921,6 +1944,32 @@ def _oracle_sql_extended() -> dict[str, str]:
                       PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
                     ) = 1) AS survivor
             FROM clustered
+        """,
+        "dedup_corpus": f"""
+            {minhash_cte.replace("WITH corpus", "WITH RECURSIVE corpus", 1)},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM scored WHERE jaccard >= 0.5
+            ),
+            comp(node, label) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, c.label FROM edges e JOIN comp c ON c.node = e.dst
+            ),
+            labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node),
+            clustered AS (
+              SELECT c.doc_id, c.text,
+                     coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+                     CAST(length(c.text) AS DOUBLE) AS score
+              FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
+              ) AS rn FROM clustered
+            )
+            SELECT doc_id, text, score FROM ranked WHERE rn = 1
         """,
         "seen_replay": """
             WITH batches AS (

@@ -237,6 +237,40 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 3,
+    score_col: str | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """The one-call corpus dedup a pipeline user actually runs:
+    MinHash+LSH near-dup pairs -> connected components -> survivor
+    per cluster (min-id, or keep-best via `score_col` on `df`) ->
+    the SURVIVING ROWS of `df`, all columns intact. Composes the
+    verified operators; the survivor semi-join carries ids only, so
+    payload columns never shuffle."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        bands=bands, rows_per_band=rows_per_band,
+        jaccard_threshold=jaccard_threshold, shingle_k=shingle_k,
+        caches=caches,
+    )
+    if score_col is not None:
+        nodes = df.select(F.col(id_col).alias("doc_id"), F.col(score_col))
+    else:
+        nodes = df.select(F.col(id_col).alias("doc_id"))
+    clusters = dedup_clusters(pairs, nodes=nodes, score_col=score_col)
+    survivors = clusters.filter(F.col("survivor")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling k-gram hashes + window-min selection)
 # ---------------------------------------------------------------------------
