@@ -1094,6 +1094,67 @@ def _phash_near_dups_oracle_sql() -> str:
     """
 
 
+def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation: the canonical training-data filter joins
+    PIXEL features (distributed decode via mapInPandas) with CAPTION
+    text quality (pure Catalyst) and keeps rows passing both — the
+    cross-modal composition a 10^12-image pipeline runs before
+    training. Payload bytes stay scan-side; only features join."""
+    from overmatch_spark.fixtures import make_images
+    from overmatch_spark.operators.multimodal import extract_features
+    from overmatch_spark.operators.text_analysis import (
+        quality_score,
+        token_count,
+    )
+
+    pdf = make_images(_IMAGE_FEATURES_N)
+    images = spark.createDataFrame(pdf).repartition(8)
+    feats = extract_features(images)
+    caps = images.select("image_id", "caption")
+    return (
+        feats.join(caps, "image_id")
+        .select(
+            "image_id", "std_gray", "aspect",
+            token_count(F.col("caption")).alias("caption_tokens"),
+            quality_score(F.col("caption")).alias("caption_quality"),
+        )
+        .filter(
+            (F.col("std_gray") >= 43.0) & (F.col("caption_quality") >= 0.5)
+        )
+    )
+
+
+def _image_curation_oracle_sql() -> str:
+    """Pixel features from the numpy replay (VALUES literals, same
+    discipline as image_features); caption metrics via the
+    text_analysis SQL twins over caption literals."""
+    from overmatch_spark.fixtures import make_images
+    from overmatch_spark.images import decode
+    from overmatch_spark.operators import text_analysis as ta
+
+    rows = []
+    for r in make_images(_IMAGE_FEATURES_N).itertuples(index=False):
+        px = decode(r.bytes, r.w, r.h, r.fmt).astype("float64")
+        rows.append(
+            f"('{r.image_id}', '{r.caption}', "
+            f"{round(float(px.mean(axis=2).std()), 9)!r}, "
+            f"{float(r.w) / float(r.h)!r})"
+        )
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH imgs AS (
+          SELECT * FROM (VALUES
+              {values}
+          ) AS t(image_id, caption, std_gray, aspect)
+        )
+        SELECT image_id, std_gray, aspect,
+               {ta.sql_token_count('caption')} AS caption_tokens,
+               {ta.sql_quality_score('caption')} AS caption_quality
+        FROM imgs
+        WHERE std_gray >= 43.0 AND {ta.sql_quality_score('caption')} >= 0.5
+    """
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN multi-probe LSH top-5: probes also search the 2 buckets
     reached by flipping their lowest-|margin| sign bits."""
@@ -1367,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "seen_replay": q_seen_replay,
         "image_features": q_image_features,
+        "image_curation": q_image_curation,
         "phash_near_dups": q_phash_near_dups,
         "winnow_pairs": q_winnow_pairs,
         "spatial_join": q_spatial_join,
@@ -1984,6 +2046,7 @@ def _oracle_sql_extended() -> dict[str, str]:
             FROM batches GROUP BY element_id
         """,
         "image_features": _image_features_oracle_sql(),
+        "image_curation": _image_curation_oracle_sql(),
         "phash_near_dups": _phash_near_dups_oracle_sql(),
         "spatial_join": f"""
             {layers}
