@@ -215,7 +215,9 @@ def spatial_join(
     (id, lon, lat); returns (a_id, b_id, distance_m rounded 0.1).
     Same physical properties as conflate: probe-side cover explode,
     one hash equi-join on the cell key, codegen distance filter;
-    output invariant to `res`."""
+    output invariant to `res`. Rows with null coordinates produce no
+    pairs (null cell never matches) — filter/repair upstream if they
+    must be reported."""
     a = layer_a.select(
         F.col(a_id).alias("a_id"),
         X.merc_x(F.col("lon")).alias("ax"),

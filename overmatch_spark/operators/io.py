@@ -115,7 +115,10 @@ def write_bucketed(
     bucketed by cell id (with Iceberg, a bucket partition transform),
     so each nightly conflation run shuffles ONLY the probe side.
     `sort_col` additionally sorts within buckets (sort-merge joins
-    then skip the sort too)."""
+    then skip the sort too). The table stays registered in the
+    session catalog after this call (that registration IS the bucket
+    metadata — a plain path read loses it); `DROP TABLE` when done,
+    the caller owns the data path."""
     w = df.write.mode("overwrite").format("parquet").option("path", path)
     if sort_col is not None:
         w = w.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
