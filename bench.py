@@ -138,7 +138,11 @@ def main():
     # so this host's contention bursts (measured 12s <-> 70s swings
     # on identical code within minutes) hit it hardest in absolute
     # terms; a third sample materially improves the odds that one
-    # run lands in a clean window
+    # run lands in a clean window. The runs do NOT stack storage:
+    # each call's persist()s hit Spark's CacheManager with identical
+    # canonical plans and reuse the first run's relations (that reuse
+    # IS the documented steady-state), so knn_caches holds repeated
+    # references to the same four cached relations, released once.
     best_of("knn", lambda: knn_fallback(a, b, m, caches=knn_caches), runs=3)
     knn_mod.release_caches(knn_caches)  # all timed runs are materialized
 

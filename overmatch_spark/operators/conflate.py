@@ -246,21 +246,34 @@ def spatial_join(
 def nearest_join(
     layer_a: DataFrame,
     layer_b: DataFrame,
+    a_id: str = "osm_id",
+    b_id: str = "id",
     res0: int = 16,
     coarse_res: int = 13,
     caches: list | None = None,
 ) -> DataFrame:
-    """Exact nearest-neighbor join as a PUBLIC operator: for every
-    named layer_a row, its single nearest layer_b row — the kNN
-    fallback (operators.knn) with an empty exclusion set. Returns
-    (osm_id, overture_id, distance_m)."""
+    """Exact nearest-neighbor join as a PUBLIC operator: for EVERY
+    layer_a row, its single nearest layer_b row — the kNN fallback
+    (operators.knn) with an empty exclusion set and NO matcher
+    semantics (the conflation pipeline's null/empty-name skip does
+    not apply here; inputs only need (id, lon, lat), like
+    spatial_join). Returns (a_id, b_id, distance_m)."""
     from overmatch_spark.operators.knn import knn_fallback
 
+    a = layer_a.select(
+        F.col(a_id).alias("osm_id"), "lon", "lat",
+        F.lit("x").alias("name"),  # defuses the matcher's name skip
+    )
+    b = layer_b.select(F.col(b_id).alias("id"), "lon", "lat")
     spark = layer_a.sparkSession
     empty = spark.createDataFrame([], "osm_id string")
-    return knn_fallback(
-        layer_a, layer_b, empty, res0=res0, coarse_res=coarse_res,
-        caches=caches,
+    out = knn_fallback(
+        a, b, empty, res0=res0, coarse_res=coarse_res, caches=caches
+    )
+    return out.select(
+        F.col("osm_id").alias("a_id"),
+        F.col("overture_id").alias("b_id"),
+        "distance_m",
     )
 
 

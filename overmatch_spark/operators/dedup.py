@@ -346,7 +346,7 @@ def winnow_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    k: int = 7,
+    k: int = 4,
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = 8,
@@ -648,7 +648,14 @@ def dedup_clusters(
     scored = out.join(
         nodes.select(
             F.col(nodes.columns[0]).alias("doc_id"),
-            F.col(score_col).cast("double").alias("_score"),
+            # null scores LOSE (SQL 'ORDER BY score DESC NULLS LAST'
+            # semantics): without the coalesce, Spark's struct
+            # ordering sorts the null negated score FIRST and a
+            # null-scored row would win its cluster
+            F.coalesce(
+                F.col(score_col).cast("double"),
+                F.lit(float("-inf")),
+            ).alias("_score"),
         ),
         "doc_id",
     )

@@ -198,21 +198,35 @@ def _dyn_cover(ax, ay, radius, res_col):
     )
 
 
+def _ladder_floor(res0: int) -> int:
+    """Coarsest enumerable ladder level for a given res0 — MUST agree
+    with the build side's range(res0-2, -1, -2): res0%2 is the last
+    value that range emits (0 for even res0, 1 for odd), so a clamp
+    below it would choose a level the build side never enumerates and
+    silently drop the probe."""
+    return res0 % 2 if res0 >= 2 else res0
+
+
 def _ladder_level(ub, res0: int):
-    """Finest ladder level (res0, res0-2, ..., 0) with ub <= 2*edge —
-    guarantees the dynamic cover is <= 6x6 cells for ANY ub. Any
+    """Finest ladder level (res0, res0-2, ..., floor) with
+    ub <= 2*edge — guarantees the dynamic cover is <= 6x6 cells for
+    any level the inequality holds at; at the floor level the world
+    itself is only a handful of cells (out-of-world cover indices
+    join nothing), so covers stay bounded even for a worst-case ub
+    that exceeds 2*edge there. Any
     level is exact; this one balances cover fan-out (shuffle rows)
     against per-cell candidate volume."""
     # ub <= 2*edge(l)  <=>  l <= log2(2*WORLD/ub)
     l_raw = F.floor(F.log2(F.lit(2.0 * X.WORLD_M) / ub)).cast("int")
     l_raw = F.least(F.lit(res0), l_raw)
-    # snap DOWN (coarser) onto the even-step ladder, clamp at 0
-    # (ceil(delta/2)*2 — Spark's `/` is double division, so floor it)
+    # snap DOWN (coarser) onto the even-step ladder, clamp at the
+    # enumerable floor (ceil(delta/2)*2 — Spark's `/` is double
+    # division, so floor it)
     delta = F.lit(res0) - l_raw
     snapped = F.lit(res0) - F.floor(
         (delta + F.lit(1)) / F.lit(2.0)
     ).cast("int") * F.lit(2)
-    return F.greatest(F.lit(0), snapped)
+    return F.greatest(F.lit(_ladder_floor(res0)), snapped)
 
 
 def knn_fallback(

@@ -54,6 +54,25 @@ class TestKnn:
             check_exact=True,
         )
 
+    def test_ladder_level_never_below_enumerable_floor(self, spark):
+        """For ODD res0 the build ladder's coarsest level is 1, not 0;
+        a worst-case ub must clamp to that enumerable floor or the
+        probe would join an empty build side and silently vanish."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.knn import _ladder_floor, _ladder_level
+
+        assert _ladder_floor(16) == 0 and _ladder_floor(15) == 1
+        df = spark.range(1).select(
+            _ladder_level(F.lit(5.7e7), 15).alias("odd"),
+            _ladder_level(F.lit(5.7e7), 16).alias("even"),
+            _ladder_level(F.lit(400.0), 15).alias("near"),
+        )
+        r = df.first()
+        assert r["odd"] == 1  # in range(13, -1, -2)
+        assert r["even"] == 0
+        assert r["near"] == 15
+
 
 class TestCheckpointResume:
     def test_kill_and_resume_identical(self, spark, layers, golden, tmp_path):
@@ -615,26 +634,27 @@ class TestPublicSpatialApi:
             "b3": (10_000.0, 90.0),  # 90 m from a2
             "b4": (200_000.0, 0.0),  # far from both
         }
+        # deliberately generic schemas: custom id names, NO name col
         a = spark.createDataFrame(
             [(k, *lonlat(*v)) for k, v in a_pts.items()],
-            "osm_id string, lon double, lat double",
-        ).withColumn("name", F.lit("x")).withColumn(
-            "housenumber", F.lit(None).cast("string")
+            "pt string, lon double, lat double",
         )
         b = spark.createDataFrame(
             [(k, *lonlat(*v)) for k, v in b_pts.items()],
-            "id string, lon double, lat double",
+            "site string, lon double, lat double",
         )
         got = {
             (r["a_id"], r["b_id"]): r["distance_m"]
-            for r in spatial_join(a, b, radius_m=100.0).collect()
+            for r in spatial_join(
+                a, b, radius_m=100.0, a_id="pt", b_id="site"
+            ).collect()
         }
         assert set(got) == {("a1", "b1"), ("a2", "b3")}
         assert abs(got[("a1", "b1")] - 50.0) < 0.2  # ~mercator scale only
 
         nn = {
-            r["osm_id"]: r["overture_id"]
-            for r in nearest_join(a, b).collect()
+            r["a_id"]: r["b_id"]
+            for r in nearest_join(a, b, a_id="pt", b_id="site").collect()
         }
         assert nn == {"a1": "b1", "a2": "b3"}
 
