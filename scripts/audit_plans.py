@@ -86,6 +86,14 @@ def main():
     knn_plan = grab_plan(knn_fallback(a, b, matched_ids))
     sections.append(("kNN fallback J8", knn_plan, None))
 
+    # 7. generic public radius join: same physical shape as J2/J3 —
+    # hash equi-join on the cell key, codegen distance filter, no
+    # nested-loop/cartesian fallback, pure JVM
+    from overmatch_spark.operators.conflate import spatial_join
+
+    sj_plan = grab_plan(spatial_join(a, b, radius_m=120.0))
+    sections.append(("Generic radius join (public API)", sj_plan, None))
+
     checks = []
 
     def check(name, cond):
@@ -138,6 +146,13 @@ def main():
     check(
         "knn plan is pure JVM (no Python eval nodes)",
         "EvalPython" not in knn_plan,
+    )
+    check(
+        "spatial_join is a pure-JVM hash equi-join (no NLJ, no Python)",
+        ("SortMergeJoin" in sj_plan or "ShuffledHashJoin" in sj_plan)
+        and "NestedLoop" not in sj_plan
+        and "CartesianProduct" not in sj_plan
+        and "EvalPython" not in sj_plan,
     )
 
     with open("PLANS.md", "w") as f:
