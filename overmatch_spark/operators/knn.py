@@ -26,7 +26,8 @@ nearest-neighbor fallback for them. Two-phase exact algorithm:
   so its dynamic cover is ALWAYS <= 6x6 cells regardless of how far
   its nearest neighbor is — and joins the cached build side once on
   the (level, cell) equi-key. The build side enumerates ladder
-  levels semi-join-pruned to the levels any probe actually chose
+  levels pruned (via a bounded driver collect of at most a few
+  level ints) to the levels any probe actually chose
   (typically just res0). Level choice shapes the physical search
   only; any level is exact because a dynamic cover of radius ub
   contains the whole disk that provably holds the nearest + its
@@ -293,13 +294,19 @@ def knn_fallback(
     done1 = best1.filter(F.col("dist") <= exit1)
 
     # ---- phase 2, step 1: an upper bound for every straggler ----
+    # ONE left join splits the probe set three ways (done / hinted /
+    # hintless) instead of a hint join plus a separate anti-join —
+    # the shuffle of probes against best1 happens once, cached
+    pl = probes.join(
+        best1.select("osm_id", "dist"), "osm_id", "left"
+    ).persist()
+    reg.append(pl)
     # hinted: the phase-1 candidate distance is a per-row upper bound
-    # (hint osm_ids are disjoint from done1 by the exit filter, so no
-    # explicit straggler anti-join is needed on this side)
-    hints = best1.filter(F.col("dist") > exit1).select(
-        "osm_id", (F.col("dist") + F.lit(_TIE_SLACK_M)).alias("ub")
+    # (hint osm_ids are disjoint from done1 by the exit filter)
+    hinted = pl.filter(F.col("dist") > exit1).select(
+        "osm_id", "ax", "ay",
+        (F.col("dist") + F.lit(_TIE_SLACK_M)).alias("ub"),
     )
-    hinted = probes.join(hints, "osm_id")
     # hintless: min over occupied coarse cells of the max possible
     # distance to the cell bbox (each occupied cell holds >=1 point,
     # so min(maxd) bounds the nearest). The broadcast histogram keeps
@@ -307,7 +314,7 @@ def knn_fallback(
     # aggregate, so the shuffle carries ONE row per probe — never the
     # probe x cell product (the Window this replaces shuffled it all).
     # rest = probes with NO phase-1 candidate at all (not in best1)
-    rest = probes.join(best1.select("osm_id"), "osm_id", "left_anti")
+    rest = pl.filter(F.col("dist").isNull()).select("osm_id", "ax", "ay")
     hist = b0.groupBy(
         X.cell_of(F.col("bx"), F.col("by"), coarse_res).alias("ccell")
     ).agg(F.count("*").alias("n"))
@@ -354,41 +361,47 @@ def knn_fallback(
         ).alias("cell"),
     ).join(b.select("cell", "overture_id", "bx", "by"), "cell").drop("cell")
     # COARSE path (rare: probes whose nearest is beyond 2*edge(res0)):
-    # build side enumerates only the coarse ladder levels any such
-    # probe actually chose — a broadcast hash semi-join on the level
-    # id, NOT a second nested-loop join; empty when no probe is coarse
+    # build side enumerates ONLY the coarse ladder levels some probe
+    # actually chose. The needed levels come from a driver collect of
+    # at most len(ladder) <= res0/2 + 1 ints (same bounded-collect
+    # class as the histogram budget) — which also lets the whole
+    # branch drop out of the plan when no probe is coarse, the
+    # common case.
     coarse = ubs.filter(F.col("lvl") < F.lit(res0))
-    probe_c = coarse.select(
-        "osm_id", "ax", "ay", "ub", "lvl",
-        F.explode(
-            _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
-        ).alias("lcell"),
+    needed_lvls = sorted(
+        r["lvl"] for r in coarse.select("lvl").distinct().collect()
     )
-    levels = F.array(*[F.lit(r) for r in range(res0 - 2, -1, -2)])
-    needed = coarse.select("lvl").distinct()
-    b_ladder = (
-        b0.withColumn("lvl", F.explode(levels))
-        .join(F.broadcast(needed), "lvl", "left_semi")
-        .select(
-            "lvl",
-            F.floor((F.col("bx") + F.lit(X.ORIGIN_M)) / _dyn_edge(F.col("lvl")))
-            .cast("long").alias("bix"),
-            F.floor((F.lit(X.ORIGIN_M) - F.col("by")) / _dyn_edge(F.col("lvl")))
-            .cast("long").alias("biy"),
-            "overture_id", "bx", "by",
+    if needed_lvls:
+        probe_c = coarse.select(
+            "osm_id", "ax", "ay", "ub", "lvl",
+            F.explode(
+                _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
+            ).alias("lcell"),
         )
-        .withColumn("lcell", X.cell_id(F.col("bix"), F.col("biy")))
-        .drop("bix", "biy")
-    )
-    cand_c = probe_c.join(b_ladder, ["lvl", "lcell"]).drop("lvl", "lcell")
-    cand2 = (
-        cand_f.unionByName(cand_c)
-        .withColumn(
-            "dist",
-            X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
+        levels = F.array(*[F.lit(r) for r in needed_lvls])
+        b_ladder = (
+            b0.withColumn("lvl", F.explode(levels))
+            .select(
+                "lvl",
+                F.floor(
+                    (F.col("bx") + F.lit(X.ORIGIN_M)) / _dyn_edge(F.col("lvl"))
+                ).cast("long").alias("bix"),
+                F.floor(
+                    (F.lit(X.ORIGIN_M) - F.col("by")) / _dyn_edge(F.col("lvl"))
+                ).cast("long").alias("biy"),
+                "overture_id", "bx", "by",
+            )
+            .withColumn("lcell", X.cell_id(F.col("bix"), F.col("biy")))
+            .drop("bix", "biy")
         )
-        .filter(F.col("dist") <= F.col("ub"))
-    )
+        cand_c = probe_c.join(b_ladder, ["lvl", "lcell"]).drop("lvl", "lcell")
+        cand2 = cand_f.unionByName(cand_c)
+    else:
+        cand2 = cand_f
+    cand2 = cand2.withColumn(
+        "dist",
+        X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
+    ).filter(F.col("dist") <= F.col("ub"))
     done2 = _best_per_probe(cand2)
 
     return done1.unionByName(done2).select(

@@ -138,9 +138,18 @@ def main():
         "knn reuses ONE cached build table across phases (>=3 cache scans)",
         len(re.findall(r"InMemoryTableScan", knn_plan)) >= 3,
     )
+    # The histogram prune is the ONLY nested-loop shape allowed. The
+    # formatted plan reprints a cached relation's stored plan at each
+    # of its scan sites, so occurrences are counted by SHAPE, not
+    # number: every BNLJ tree line must be the broadcast Cross
+    # BuildRight histogram, and nothing may fall back to a cartesian.
+    bnlj_types = re.findall(
+        r"BroadcastNestedLoopJoin ([A-Za-z ]+)\(\d+\)", knn_plan
+    )
     check(
-        "knn histogram prune is the plan's only nested-loop join",
-        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", knn_plan)) == 1
+        "knn nested-loop joins are ONLY the broadcast histogram prune",
+        len(bnlj_types) >= 1
+        and all(t.strip() == "Cross BuildRight" for t in bnlj_types)
         and "CartesianProduct" not in knn_plan,
     )
     check(
