@@ -1155,6 +1155,124 @@ def _image_curation_oracle_sql() -> str:
     """
 
 
+def _fake_videos() -> list[tuple[str, bytes]]:
+    """Deterministic RAWV containers (images.gen_pixels frames)."""
+    from overmatch_spark.images import encode_video, gen_pixels
+
+    rows = []
+    for i in range(8):
+        vid = f"vid/{i:04d}"
+        n = 5 + (i % 4) * 3
+        w, h = (8, 6) if i % 2 == 0 else (4, 4)
+        frames = [gen_pixels(f"{vid}#{j}", w, h) for j in range(n)]
+        rows.append((vid, encode_video(frames, fps=24)))
+    return rows
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: distributed video demux + constant-time frame
+    seek (every 3rd frame) over the RAWV container; frames reported
+    by content hash so the oracle replays the demux single-node."""
+    from overmatch_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        _fake_videos(), "video_id string, bytes binary"
+    ).repartition(4)
+    return sample_frames(df, every_n=3).select(
+        "video_id", "frame_idx", "w", "h",
+        F.md5(F.col("bytes")).alias("frame_md5"),
+    )
+
+
+def _video_frames_oracle_sql() -> str:
+    import hashlib
+
+    from overmatch_spark.images import gen_pixels
+
+    rows = []
+    for i in range(8):
+        vid = f"vid/{i:04d}"
+        n = 5 + (i % 4) * 3
+        w, h = (8, 6) if i % 2 == 0 else (4, 4)
+        for idx in range(0, n, 3):
+            px = gen_pixels(f"{vid}#{idx}", w, h)
+            md5 = hashlib.md5(px.tobytes()).hexdigest()
+            rows.append(f"('{vid}', {idx}, {w}, {h}, '{md5}')")
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT * FROM (VALUES
+              {values}
+        ) AS t(video_id, frame_idx, w, h, frame_md5)
+    """
+
+
+def _fake_audios() -> list[tuple[str, bytes]]:
+    """Deterministic RAWA PCM clips (id-derived sine waves)."""
+    import numpy as np
+
+    from overmatch_spark.images import encode_audio
+
+    rows = []
+    for i in range(10):
+        aid = f"aud/{i:04d}"
+        n = 800 + i * 160
+        t = np.arange(n)
+        f0 = 200.0 + 55.0 * i
+        pcm = ((9000 + 500 * i) * np.sin(2 * np.pi * f0 * t / 16000.0)).astype(
+            np.int16
+        )
+        rows.append((aid, encode_audio(pcm, 16000)))
+    return rows
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: distributed PCM DSP (RMS / zero-crossing rate /
+    FFT spectral centroid / peak) over the RAWA container, rounded to
+    6 dp for engine portability (FFT reductions can differ in the
+    last ulp across processes, same as image means)."""
+    from overmatch_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        _fake_audios(), "audio_id string, bytes binary"
+    ).repartition(4)
+    return audio_features(df).select(
+        "audio_id", "sample_rate",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+def _audio_features_oracle_sql() -> str:
+    """Single-node numpy replay; DuckDB round(x, 6) matches Spark's
+    F.round for the non-negative feature values."""
+    import numpy as np
+
+    from overmatch_spark.images import decode_audio
+
+    rows = []
+    for aid, buf in _fake_audios():
+        rate, pcm = decode_audio(buf)
+        x = pcm.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+        centroid = float((freqs * mag).sum() / float(mag.sum()))
+        peak = float(np.abs(x).max())
+        rows.append(
+            f"('{aid}', {rate}, round({rms!r}, 6), round({zcr!r}, 6), "
+            f"round({centroid!r}, 6), round({peak!r}, 6))"
+        )
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT * FROM (VALUES
+              {values}
+        ) AS t(audio_id, sample_rate, rms, zcr, spectral_centroid_hz, peak)
+    """
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN multi-probe LSH top-5: probes also search the 2 buckets
     reached by flipping their lowest-|margin| sign bits."""
@@ -1429,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_replay": q_seen_replay,
         "image_features": q_image_features,
         "image_curation": q_image_curation,
+        "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
         "phash_near_dups": q_phash_near_dups,
         "winnow_pairs": q_winnow_pairs,
         "spatial_join": q_spatial_join,
@@ -2047,6 +2167,8 @@ def _oracle_sql_extended() -> dict[str, str]:
         """,
         "image_features": _image_features_oracle_sql(),
         "image_curation": _image_curation_oracle_sql(),
+        "video_frames": _video_frames_oracle_sql(),
+        "audio_features": _audio_features_oracle_sql(),
         "phash_near_dups": _phash_near_dups_oracle_sql(),
         "spatial_join": f"""
             {layers}
