@@ -142,7 +142,8 @@ def main():
     # each call's persist()s hit Spark's CacheManager with identical
     # canonical plans and reuse the first run's relations (that reuse
     # IS the documented steady-state), so knn_caches holds repeated
-    # references to the same four cached relations, released once.
+    # references to the same five cached relations (probes, build
+    # table, best1, probe-split, ubs), released once.
     best_of("knn", lambda: knn_fallback(a, b, m, caches=knn_caches), runs=3)
     knn_mod.release_caches(knn_caches)  # all timed runs are materialized
 

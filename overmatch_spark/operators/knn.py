@@ -22,13 +22,14 @@ nearest-neighbor fallback for them. Two-phase exact algorithm:
     a map-side partial aggregate (the shuffle carries ONE row per
     probe, never the probe x cell product).
   With ub known, each straggler picks the finest level of a
-  RESOLUTION LADDER (res0, res0-2, ..., 0) satisfying ub <= 2*edge —
+  RESOLUTION LADDER (res0, res0-2, ..., down to res0 % 2 — the
+  enumerable floor _ladder_floor aligns the clamp to) satisfying
+  ub <= 2*edge —
   so its dynamic cover is ALWAYS <= 6x6 cells regardless of how far
   its nearest neighbor is — and joins the cached build side once on
   the (level, cell) equi-key. The build side enumerates ladder
-  levels pruned (via a bounded driver collect of at most a few
-  level ints) to the levels any probe actually chose
-  (typically just res0). Level choice shapes the physical search
+  levels semi-join-pruned (lazily) to the levels any probe actually
+  chose (typically just res0). Level choice shapes the physical search
   only; any level is exact because a dynamic cover of radius ub
   contains the whole disk that provably holds the nearest + its
   mm-rounded ties.
@@ -361,44 +362,41 @@ def knn_fallback(
         ).alias("cell"),
     ).join(b.select("cell", "overture_id", "bx", "by"), "cell").drop("cell")
     # COARSE path (rare: probes whose nearest is beyond 2*edge(res0)):
-    # build side enumerates ONLY the coarse ladder levels some probe
-    # actually chose. The needed levels come from a driver collect of
-    # at most len(ladder) <= res0/2 + 1 ints (same bounded-collect
-    # class as the histogram budget) — which also lets the whole
-    # branch drop out of the plan when no probe is coarse, the
-    # common case.
+    # build side enumerates only the coarse ladder levels some probe
+    # actually chose — a LAZY broadcast hash semi-join on the level
+    # id. A driver-collected level list was tried and reverted: it
+    # made plan construction eager and froze the level set at build
+    # time, so a recomputation of the (non-deterministic-input) cache
+    # after executor loss could choose a level the frozen list lacks
+    # and silently drop the probe; the semi-join re-evaluates with
+    # whatever the data says at action time, always consistent.
     coarse = ubs.filter(F.col("lvl") < F.lit(res0))
-    needed_lvls = sorted(
-        r["lvl"] for r in coarse.select("lvl").distinct().collect()
+    probe_c = coarse.select(
+        "osm_id", "ax", "ay", "ub", "lvl",
+        F.explode(
+            _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
+        ).alias("lcell"),
     )
-    if needed_lvls:
-        probe_c = coarse.select(
-            "osm_id", "ax", "ay", "ub", "lvl",
-            F.explode(
-                _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
-            ).alias("lcell"),
+    levels = F.array(*[F.lit(r) for r in range(res0 - 2, -1, -2)])
+    needed = coarse.select("lvl").distinct()
+    b_ladder = (
+        b0.withColumn("lvl", F.explode(levels))
+        .join(F.broadcast(needed), "lvl", "left_semi")
+        .select(
+            "lvl",
+            F.floor(
+                (F.col("bx") + F.lit(X.ORIGIN_M)) / _dyn_edge(F.col("lvl"))
+            ).cast("long").alias("bix"),
+            F.floor(
+                (F.lit(X.ORIGIN_M) - F.col("by")) / _dyn_edge(F.col("lvl"))
+            ).cast("long").alias("biy"),
+            "overture_id", "bx", "by",
         )
-        levels = F.array(*[F.lit(r) for r in needed_lvls])
-        b_ladder = (
-            b0.withColumn("lvl", F.explode(levels))
-            .select(
-                "lvl",
-                F.floor(
-                    (F.col("bx") + F.lit(X.ORIGIN_M)) / _dyn_edge(F.col("lvl"))
-                ).cast("long").alias("bix"),
-                F.floor(
-                    (F.lit(X.ORIGIN_M) - F.col("by")) / _dyn_edge(F.col("lvl"))
-                ).cast("long").alias("biy"),
-                "overture_id", "bx", "by",
-            )
-            .withColumn("lcell", X.cell_id(F.col("bix"), F.col("biy")))
-            .drop("bix", "biy")
-        )
-        cand_c = probe_c.join(b_ladder, ["lvl", "lcell"]).drop("lvl", "lcell")
-        cand2 = cand_f.unionByName(cand_c)
-    else:
-        cand2 = cand_f
-    cand2 = cand2.withColumn(
+        .withColumn("lcell", X.cell_id(F.col("bix"), F.col("biy")))
+        .drop("bix", "biy")
+    )
+    cand_c = probe_c.join(b_ladder, ["lvl", "lcell"]).drop("lvl", "lcell")
+    cand2 = cand_f.unionByName(cand_c).withColumn(
         "dist",
         X.planar_distance(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
     ).filter(F.col("dist") <= F.col("ub"))

@@ -146,10 +146,22 @@ def main():
     bnlj_types = re.findall(
         r"BroadcastNestedLoopJoin ([A-Za-z ]+)\(\d+\)", knn_plan
     )
+    # every BNLJ detail entry must OUTPUT the histogram's bbox
+    # columns — identifying each nested-loop occurrence as the
+    # histogram prune specifically, not merely any broadcast cross
+    # (the formatted plan reprints a cached subtree at each scan
+    # site, so identity is checked by shape+output, not by count)
+    bnlj_details = re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin[^\n]*\n"
+        r"(?:[^\n]*\n){0,8}?[^\n]*Output \[\d+\]: \[([^\]]*)\]",
+        knn_plan,
+    )
     check(
         "knn nested-loop joins are ONLY the broadcast histogram prune",
         len(bnlj_types) >= 1
         and all(t.strip() == "Cross BuildRight" for t in bnlj_types)
+        and len(bnlj_details) >= 1
+        and all("xlo" in d for d in bnlj_details)
         and "CartesianProduct" not in knn_plan,
     )
     check(
