@@ -349,9 +349,11 @@ def knn_fallback(
     reg.append(ubs)
 
     # ---- phase 2, step 2: ladder equi-join at each probe's level ----
-    # FINE path (lvl == res0, the overwhelming majority — every hinted
-    # probe lands here because a phase-1 candidate is at most
-    # ~sqrt(2)*(r1+edge) < 4*edge away): covers explode at res0 and
+    # FINE path (lvl == res0, the overwhelming majority): a hinted
+    # probe's ub can reach ~sqrt(2)*1.5*edge ≈ 2.12*edge, so hinted
+    # probes with ub in (2*edge, ~2.13*edge] take the COARSE path at
+    # res0-2 — rare but by design, not impossible. Either path is
+    # exact at any level. The fine path covers explode at res0 and
     # join the SAME b-side projection/key as phase 1, so the build
     # side needs no extra enumeration and the exchange is reusable.
     fine = ubs.filter(F.col("lvl") == F.lit(res0))

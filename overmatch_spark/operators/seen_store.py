@@ -148,40 +148,45 @@ class PartitionedSeenStore:
         b = batch.select("element_id", "seen_at").withColumn(
             "bucket", bucket_of(F.col("element_id"), self.n_buckets)
         ).persist()
-        touched = sorted(
-            r["bucket"] for r in b.select("bucket").distinct().collect()
-        )
-        if not touched:
-            b.unpersist()
-            return []
-
-        self._acquire_lock()
         try:
-            manifest = self.manifest()
-            version = manifest["version"] + 1
-            vdir = f"v{version:06d}"
-            out_path = os.path.join(self.store_dir, vdir)
-
-            existing = self.read(buckets=touched)
-            merged = upsert_seen(existing, b.drop("bucket")).withColumn(
-                "bucket", bucket_of(F.col("element_id"), self.n_buckets)
+            touched = sorted(
+                r["bucket"] for r in b.select("bucket").distinct().collect()
             )
-            # one writer task per touched bucket: the store stays
-            # bucket-partitioned on disk without a bucket=... directory scan
-            merged.repartition(len(touched), "bucket").write.partitionBy(
-                "bucket"
-            ).mode("overwrite").parquet(out_path)
-            b.unpersist()
+            if not touched:
+                return []
 
-            for t in touched:
-                manifest["buckets"][str(t)] = os.path.join(vdir, f"bucket={t}")
-            manifest["version"] = version
-            manifest["n_buckets"] = self.n_buckets
-            self._commit(manifest)
-            self._gc(manifest)
+            self._acquire_lock()
+            try:
+                manifest = self.manifest()
+                version = manifest["version"] + 1
+                vdir = f"v{version:06d}"
+                out_path = os.path.join(self.store_dir, vdir)
+
+                existing = self.read(buckets=touched)
+                merged = upsert_seen(existing, b.drop("bucket")).withColumn(
+                    "bucket", bucket_of(F.col("element_id"), self.n_buckets)
+                )
+                # one writer task per touched bucket: the store stays
+                # bucket-partitioned on disk without a bucket=... dir scan
+                merged.repartition(len(touched), "bucket").write.partitionBy(
+                    "bucket"
+                ).mode("overwrite").parquet(out_path)
+
+                for t in touched:
+                    manifest["buckets"][str(t)] = os.path.join(
+                        vdir, f"bucket={t}"
+                    )
+                manifest["version"] = version
+                manifest["n_buckets"] = self.n_buckets
+                self._commit(manifest)
+                self._gc(manifest)
+            finally:
+                self._release_lock()
+            return touched
         finally:
-            self._release_lock()
-        return touched
+            # every exit path (incl. ConcurrentWriterError and a failed
+            # bucket write/commit) releases the cached batch
+            b.unpersist()
 
     def compact(self) -> int:
         """Rewrite EVERY live bucket at one new version and GC the

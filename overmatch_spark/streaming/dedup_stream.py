@@ -19,8 +19,11 @@ Two forms with aligned semantics:
     state, so the horizon is explicit, not hidden.
 
 Parity contract (pytest): for an input whose duplicates all arrive
-within the watermark horizon, stream output == batch output (same
-kept doc_ids).
+within the watermark horizon AND in event-time order (processing
+order consistent with `ts`), stream output == batch output (same
+kept doc_ids). Out-of-order duplicates within the horizon diverge by
+design: the stream keeps the first PROCESSED row per hash, while
+`dedup_batch` keeps the min (ts, doc_id) row.
 """
 
 from __future__ import annotations

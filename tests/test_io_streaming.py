@@ -256,6 +256,96 @@ class TestStreamingIngest:
             before.reset_index(drop=True), after.reset_index(drop=True)
         )
 
+    def test_crash_during_compaction_resumes_byte_equal(self, spark, tmp_path):
+        """Kill/resume across the newest code path: a crash mid-
+        compact() (data for the compacted version written, manifest
+        never swapped) must leave the fragmented pre-compaction state
+        fully readable, and a resumed merge_batch + compact() must
+        converge to the exact state an uncrashed run would produce,
+        with the orphaned half-written version GC'd from disk."""
+        import pandas as pd
+
+        from overmatch_spark.operators import seen_store as ss
+
+        store = ss.PartitionedSeenStore(spark, str(tmp_path / "st"), n_buckets=4)
+        for i in range(3):
+            store.merge_batch(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {"element_id": [f"n{i}", f"n{i + 1}"],
+                         "seen_at": [i * 10, i * 10 + 1]}
+                    )
+                )
+            )
+        before = (
+            store.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        )
+        version_before = store.manifest()["version"]
+
+        orig = ss.PartitionedSeenStore._commit
+
+        def exploding_commit(self, manifest):
+            raise RuntimeError("simulated crash during compaction commit")
+
+        ss.PartitionedSeenStore._commit = exploding_commit
+        try:
+            with pytest.raises(RuntimeError):
+                store.compact()
+        finally:
+            ss.PartitionedSeenStore._commit = orig
+
+        # crashed compaction: state byte-equal, manifest version unchanged,
+        # lock released (finally path), orphan version dir on disk
+        after_crash = (
+            store.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after_crash)
+        assert store.manifest()["version"] == version_before
+        orphan = f"v{version_before + 1:06d}"
+        assert os.path.isdir(os.path.join(store.store_dir, orphan))
+
+        # resume: a fresh store handle (new process) keeps writing
+        resumed = ss.PartitionedSeenStore(spark, str(tmp_path / "st"))
+        resumed.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["n0", "zz"], "seen_at": [999, 7]})
+            )
+        )
+        resumed.compact()
+
+        got = (
+            resumed.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        )
+        # expected = uncrashed replay of the same batches on a clean store
+        clean = ss.PartitionedSeenStore(spark, str(tmp_path / "clean"), n_buckets=4)
+        for i in range(3):
+            clean.merge_batch(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {"element_id": [f"n{i}", f"n{i + 1}"],
+                         "seen_at": [i * 10, i * 10 + 1]}
+                    )
+                )
+            )
+        clean.merge_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"element_id": ["n0", "zz"], "seen_at": [999, 7]})
+            )
+        )
+        clean.compact()
+        want = (
+            clean.read().toPandas().sort_values("element_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # the orphaned half-written compaction dir was GC'd on resume
+        assert not os.path.isdir(os.path.join(resumed.store_dir, orphan))
+        # compacted store: exactly one live version dir remains
+        vdirs = {
+            rel.split(os.sep)[0]
+            for rel in resumed.manifest()["buckets"].values()
+        }
+        assert len(vdirs) == 1
+
     def test_compaction_bounds_files_and_preserves_state(self, spark, tmp_path):
         """After many touch-generations the store fragments into one
         live version dir per generation; compact() must collapse it to
