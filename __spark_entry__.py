@@ -242,11 +242,20 @@ def q_enrich_marked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked_counts(enrich_with_seen(m, osm_seen, ov_seen))
 
 
-def q_seen_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5/D2: first_seen-immutable / last_seen-refreshed MERGE
-    semantics (epoch-day integers for cross-engine hashing)."""
+def q_seen_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/D2 consolidated r4 (was seen_upsert + seen_replay):
+    (a) src='upsert': first_seen-immutable / last_seen-refreshed MERGE
+    semantics over in-memory tables (epoch-day integers for
+    cross-engine hashing); (b) src='replay': the same semantics
+    through the REAL partitioned store — three overlapping batches
+    merged sequentially (manifest commits, bucket rewrites, a
+    mid-sequence compaction), then the committed state read back.
+    The replay equals a single-shot min/max upsert of the union —
+    upsert_seen is merge-order-independent, which is exactly what
+    makes the replayed store oracle-expressible."""
     from overmatch_spark import demo
     from overmatch_spark.operators.seen import upsert_seen
+    from overmatch_spark.operators.seen_store import PartitionedSeenStore
 
     c = demo.load(spark, sf_dir, "customer")
     key = F.col("c_custkey")
@@ -255,33 +264,21 @@ def q_seen_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("node/"), key.cast("string")).alias("element_id"),
         ((key * 13) % 3000 + 500).cast("long").alias("seen_at"),
     )
-    return upsert_seen(seen, batch)
+    upserted = upsert_seen(seen, batch).withColumn("src", F.lit("upsert"))
 
-
-def q_seen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5/D2 through the REAL partitioned store: three overlapping
-    batches merged sequentially (manifest commits, bucket rewrites, a
-    mid-sequence compaction), then the committed state read back.
-    Equals a single-shot min/max upsert of the union — upsert_seen is
-    merge-order-independent, which is exactly what makes the replayed
-    store oracle-expressible."""
-    from overmatch_spark import demo
-    from overmatch_spark.operators.seen_store import PartitionedSeenStore
-
-    c = demo.load(spark, sf_dir, "customer")
-    key = F.col("c_custkey")
     store = PartitionedSeenStore(
         spark, _scratch_dir("overmatch_seenrep_"), n_buckets=8
     )
     for i in (0, 1, 2):
-        batch = c.filter((key % 3 == i) | (key % 5 == i)).select(
+        b = c.filter((key % 3 == i) | (key % 5 == i)).select(
             F.concat(F.lit("node/"), key.cast("string")).alias("element_id"),
             ((key * (7 + i)) % 3000 + 100 * i).cast("long").alias("seen_at"),
         )
-        store.merge_batch(batch)
+        store.merge_batch(b)
         if i == 1:
             store.compact()  # state must be invariant under compaction
-    return store.read()
+    replayed = store.read().withColumn("src", F.lit("replay"))
+    return upserted.unionByName(replayed)
 
 
 def q_tile_density_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,23 +388,37 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (the scale path)."""
+    """Consolidated r4 (was ann_lsh_topk + ann_multiprobe_topk):
+    LSH-bucketed approximate top-5 (the scale path), single-bucket
+    and multi-probe (probes also search the 2 buckets reached by
+    flipping their lowest-|margin| sign bits), variant-labelled."""
     from overmatch_spark import demo
-    from overmatch_spark.operators.ann import lsh_topk
+    from overmatch_spark.operators.ann import lsh_topk, multiprobe_topk
 
     e = demo.load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, probes, "embedding", "vec_id", k=5, num_planes=6, dim=64)
+    single = lsh_topk(
+        e, probes, "embedding", "vec_id", k=5, num_planes=6, dim=64
+    ).withColumn("variant", F.lit("lsh"))
+    multi = multiprobe_topk(
+        e, probes, "embedding", "vec_id", k=5, num_planes=6, dim=64, extra=2
+    ).withColumn("variant", F.lit("multiprobe"))
+    return single.unionByName(multi)
 
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID, quality score, token counts, fingerprint."""
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated r4 (was text_stats + lang_quality_summary):
+    per-document language ID, quality score, token counts and
+    fingerprint, plus the per-language aggregate (count, avg quality)
+    as window columns on the same rows."""
+    from pyspark.sql import Window
+
     from overmatch_spark import demo
     from overmatch_spark.operators import text_analysis as ta
 
     d = demo.load(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    stats = d.select(
         "doc_id",
         ta.token_count(t).alias("n_tokens"),
         ta.bpe_ish_token_estimate(t).alias("n_tokens_bpe"),
@@ -415,23 +426,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.quality_score(t).alias("quality"),
         ta.fingerprint(t).alias("fp"),
     )
-
-
-def q_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate text metrics per predicted language."""
-    from overmatch_spark import demo
-    from overmatch_spark.operators import text_analysis as ta
-
-    d = demo.load(spark, sf_dir, "documents")
-    t = F.col("text")
-    return (
-        d.select(ta.lang_id(t).alias("pred_lang"),
-                 ta.quality_score(t).alias("q"))
-        .groupBy("pred_lang")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
-        )
+    w = Window.partitionBy("pred_lang")
+    return stats.select(
+        "*",
+        F.count("*").over(w).cast("long").alias("lang_n"),
+        F.round(F.avg("quality").over(w), 6).alias("lang_avg_quality"),
     )
 
 
@@ -455,19 +454,15 @@ def _multi_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_closest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W3: closest-first rank-1 per element over genuine
-    multi-match groups (second candidate layer)."""
-    from overmatch_spark.operators.enrich import closest_match
-
-    m = _multi_matches(spark, sf_dir)
-    return closest_match(m).select("osm_id", "overture_id", "distance_m")
-
-
-def q_merge_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: per tag key, the value of the NEAREST match carrying it
-    (closest-wins merge), emitted as a deterministic k=v string."""
-    from overmatch_spark.operators.enrich import merge_tags_closest_wins
+def q_closest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 + W2 over genuine multi-match groups (consolidated r4):
+    closest-first rank-1 per element, joined with the closest-wins
+    tag merge (per tag key, the value of the NEAREST match carrying
+    it, emitted as a deterministic k=v string)."""
+    from overmatch_spark.operators.enrich import (
+        closest_match,
+        merge_tags_closest_wins,
+    )
 
     m = _multi_matches(spark, sf_dir)
     key = F.split(F.col("overture_id"), "/").getItem(1).cast("long")
@@ -491,7 +486,7 @@ def q_merge_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged = merge_tags_closest_wins(m.withColumn("overture_tags", tags))
-    return merged.select(
+    merged = merged.select(
         "osm_id",
         F.array_join(
             F.transform(
@@ -501,6 +496,10 @@ def q_merge_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";",
         ).alias("merged"),
     )
+    cm = closest_match(m).select("osm_id", "overture_id", "distance_m")
+    # left join: elements matched only by the first layer keep their
+    # closest-match row with a NULL merged string
+    return cm.join(merged, "osm_id", "left")
 
 
 _OSM_CATS = ["restaurant", "bar", "cafe"]
@@ -561,10 +560,15 @@ def q_tag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("osm_id", "key", "status", "auto_apply")
 
 
-def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13/F14/F15: WKT point parse, OSM id format/parse round-trip,
-    vertex-array centroid."""
+def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14/F15 + F9/F10/F11 + F23 at customer grain (consolidated
+    r4 so every row fits the driver's 50-query window): WKT point
+    parse, OSM id format/parse round-trip, vertex-array centroid,
+    names.rules := NULL nested mutate (match.py:269-272), update_time
+    repair inside sources[] (match.py:278-284), struct flatten
+    (enrich_...py:108-126), symmetric Hausdorff distance."""
     from overmatch_spark import demo
+    from overmatch_spark import expressions as X
     from overmatch_spark.operators import structs
 
     c = demo.load(spark, sf_dir, "customer")
@@ -584,30 +588,42 @@ def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx, cy = structs.centroid(xs, ys)
     osm_id = structs.osm_id_format(F.lit("node"), key)
     t, num = structs.osm_id_parse(osm_id)
-    return c.select(
+    names = F.struct(
+        demo._vocab_name(key).alias("primary"),
+        F.concat(F.lit("rule-"), key.cast("string")).alias("rules"),
+    )
+    ut = (
+        F.when(key % 3 == 0, F.lit("2025-04-01T00:00:00.000"))
+        .otherwise(F.lit("2025-04-02T12:30:15.000Z"))
+    )
+    sources = F.array(
+        F.struct(F.lit("datasetA").alias("dataset"), ut.alias("update_time")),
+        F.struct(
+            F.lit("datasetB").alias("dataset"),
+            F.lit("2024-01-05T00:00:00.000").alias("update_time"),
+        ),
+    )
+    hxa = F.array(key.cast("double"), (key + 10).cast("double"),
+                  (key + 3).cast("double"))
+    hya = F.array((key * 2).cast("double"), (key * 2 + 4).cast("double"),
+                  (key * 2 + 11).cast("double"))
+    hxb = F.array((key + 1).cast("double"), (key + 7).cast("double"))
+    hyb = F.array((key * 2 + 2).cast("double"), (key * 2 + 5).cast("double"))
+    df = c.select(
         key.alias("id"), wlon.alias("wlon"), wlat.alias("wlat"),
         cx.alias("cx"), cy.alias("cy"),
         t.alias("osm_type"), num.alias("osm_num"),
+        structs.null_rules(names).alias("names"),
+        structs.repair_update_time(sources).alias("sources"),
+        F.round(X.hausdorff(hxa, hya, hxb, hyb), 6).alias("hausdorff_m"),
     )
-
-
-def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F23: symmetric Hausdorff distance between per-key vertex sets
-    (pure expressions over array columns)."""
-    from overmatch_spark import demo
-    from overmatch_spark import expressions as X
-
-    c = demo.load(spark, sf_dir, "customer")
-    key = F.col("c_custkey")
-    xa = F.array(key.cast("double"), (key + 10).cast("double"),
-                 (key + 3).cast("double"))
-    ya = F.array((key * 2).cast("double"), (key * 2 + 4).cast("double"),
-                 (key * 2 + 11).cast("double"))
-    xb = F.array((key + 1).cast("double"), (key + 7).cast("double"))
-    yb = F.array((key * 2 + 2).cast("double"), (key * 2 + 5).cast("double"))
-    return c.select(
-        key.alias("id"),
-        F.round(X.hausdorff(xa, ya, xb, yb), 6).alias("hausdorff_m"),
+    df = structs.flatten_struct(df, "names")
+    return df.select(
+        "id", "wlon", "wlat", "cx", "cy", "osm_type", "osm_num",
+        "names_primary", "names_rules",
+        F.col("sources")[0]["update_time"].alias("ut0"),
+        F.col("sources")[1]["update_time"].alias("ut1"),
+        "hausdorff_m",
     )
 
 
@@ -633,19 +649,55 @@ def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wide projection, dedup clustering, ANN multi-probe, error budget
 # ---------------------------------------------------------------------------
 
-def q_geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2: GeoJSON Feature-string sink rendering, one per match
-    (enrich_matches_with_dynamodb.py:398-404)."""
-    from overmatch_spark.operators.io import geojson_point_feature
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 + S1/S2 consolidated r4 (was geojson_features +
+    geojson_scan): render one GeoJSON Feature string per match
+    (enrich_matches_with_dynamodb.py:398-404), assemble them into a
+    FeatureCollection file, scan it back (the reference loads these
+    via geopandas at match.py:89-110), and RE-RENDER each feature
+    from the parsed values. Lossless round-trip => output equals the
+    original sink rendering, so one oracle row checks the sink bytes
+    AND the scan. (A FeatureCollection is inherently one JSON doc, so
+    the file assembly is a single-file driver write — the at-scale
+    sink is the JSONL/GeoJSONSeq path, q jsonl_roundtrip.)"""
+    import os
+
+    from overmatch_spark.operators.io import (
+        geojson_point_feature,
+        read_geojson_features,
+    )
 
     m = _matches_df(spark, sf_dir)
     key = F.split(F.col("overture_id"), "/").getItem(1).cast("long")
-    props = F.concat(F.lit('{"osm_id":"'), F.col("osm_id"), F.lit('"}'))
-    return m.select(
-        "osm_id",
+    props = F.concat(
+        F.lit('{"osm_id":"'), F.col("osm_id"), F.lit('","ok":'),
+        key.cast("string"), F.lit("}"),
+    )
+    feats = m.select(
         geojson_point_feature(F.col("lon"), F.col("lat"), key, props).alias(
             "feature"
-        ),
+        )
+    )
+    fc_text = feats.agg(
+        F.concat(
+            F.lit('{"type":"FeatureCollection","features":['),
+            F.array_join(F.array_sort(F.collect_list("feature")), ","),
+            F.lit("]}"),
+        ).alias("fc")
+    ).collect()[0][0]
+    path = os.path.join(_scratch_dir("overmatch_gjrt_"), "fc.geojson")
+    with open(path, "w") as fh:
+        fh.write(fc_text)
+    got = read_geojson_features(spark, path, "osm_id: string, ok: long")
+    reprops = F.concat(
+        F.lit('{"osm_id":"'), F.col("osm_id"), F.lit('","ok":'),
+        F.col("ok").cast("string"), F.lit("}"),
+    )
+    return got.select(
+        "osm_id",
+        geojson_point_feature(
+            F.col("lon"), F.col("lat"), F.col("ok"), reprops
+        ).alias("feature"),
     )
 
 
@@ -695,45 +747,6 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_scratch_dir("overmatch_jsonl_"), "roundtrip")
     write_jsonl(df, path)
     return read_jsonl(spark, path, schema="id long, name string, val long")
-
-
-def q_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/S2: GeoJSON FeatureCollection scan (multiLine JSON ->
-    explode; the reference loads via geopandas at match.py:89-110).
-    The FeatureCollection file is synthesized deterministically from
-    the nation table."""
-    import json
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pq
-
-    from overmatch_spark.operators.io import read_geojson_features
-
-    t = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
-    feats = [
-        {
-            "type": "Feature",
-            "properties": {"@id": f"node/{k}", "name": str(nm)},
-            "geometry": {
-                "type": "Point",
-                "coordinates": [k % 360 - 180, k % 170 - 85],
-            },
-        }
-        for k, nm in zip(t["n_nationkey"], t["n_name"])
-    ]
-    path = os.path.join(
-        _scratch_dir("overmatch_fc_"), "fc.geojson"
-    )
-    with open(path, "w") as f:
-        json.dump({"type": "FeatureCollection", "features": feats}, f)
-    got = read_geojson_features(spark, path, "`@id`: string, name: string")
-    return got.select(
-        F.col("@id").alias("id"),
-        "name",
-        F.col("lon").cast("long").alias("lon"),
-        F.col("lat").cast("long").alias("lat"),
-    )
 
 
 def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,48 +856,13 @@ def q_category_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(key.alias("id"), rendered.alias("tags"))
 
 
-def q_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9/F10/F11: names.rules := NULL nested mutate (match.py:269-272),
-    update_time repair inside sources[] (match.py:278-284), struct
-    flatten (enrich_...py:108-126)."""
-    from overmatch_spark import demo
-    from overmatch_spark.operators import structs
-
-    c = demo.load(spark, sf_dir, "customer")
-    key = F.col("c_custkey")
-    names = F.struct(
-        demo._vocab_name(key).alias("primary"),
-        F.concat(F.lit("rule-"), key.cast("string")).alias("rules"),
-    )
-    ut = (
-        F.when(key % 3 == 0, F.lit("2025-04-01T00:00:00.000"))
-        .otherwise(F.lit("2025-04-02T12:30:15.000Z"))
-    )
-    sources = F.array(
-        F.struct(F.lit("datasetA").alias("dataset"), ut.alias("update_time")),
-        F.struct(
-            F.lit("datasetB").alias("dataset"),
-            F.lit("2024-01-05T00:00:00.000").alias("update_time"),
-        ),
-    )
-    df = c.select(
-        key.alias("id"),
-        structs.null_rules(names).alias("names"),
-        structs.repair_update_time(sources).alias("sources"),
-    )
-    df = structs.flatten_struct(df, "names")
-    return df.select(
-        "id",
-        "names_primary",
-        "names_rules",
-        F.col("sources")[0]["update_time"].alias("ut0"),
-        F.col("sources")[1]["update_time"].alias("ut1"),
-    )
-
-
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs -> connected components -> survivor table
-    (min-label propagation; deterministic cluster_id = component min)."""
+    """Consolidated r4 (was dedup_clusters + dedup_keep_best):
+    near-dup pairs -> connected components (min-label propagation;
+    deterministic cluster_id = component min) with BOTH survivor
+    policies side by side — survivor_min (keep smallest doc_id) and
+    survivor_best (keep the cluster's longest text, ties -> smallest
+    doc_id; keeps the original over its truncated near-dup)."""
     from overmatch_spark import demo
     from overmatch_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
 
@@ -899,33 +877,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", bands=8, rows_per_band=2,
         jaccard_threshold=0.5,
     )
-    return dedup_clusters(pairs, nodes=corpus.select("doc_id"))
-
-
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same cluster formation, KEEP-BEST survivor policy: the survivor
-    is the cluster's longest text (ties -> smallest doc_id) — the
-    standard corpus-dedup knob; here it keeps the original document
-    over its truncated near-dup."""
-    from overmatch_spark import demo
-    from overmatch_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
-
-    d = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    trunc = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    base = dedup_clusters(pairs, nodes=corpus.select("doc_id")).select(
+        "doc_id", "cluster_id", F.col("survivor").alias("survivor_min")
     )
-    corpus = d.unionByName(trunc)
-    pairs = minhash_lsh_pairs(
-        corpus, "text", "doc_id", bands=8, rows_per_band=2,
-        jaccard_threshold=0.5,
-    )
-    return dedup_clusters(
+    best = dedup_clusters(
         pairs,
         nodes=corpus.select("doc_id", F.length("text").alias("score")),
         score_col="score",
-    )
+    ).select("doc_id", F.col("survivor").alias("survivor_best"))
+    return base.join(best, "doc_id")
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,19 +1233,6 @@ def _audio_features_oracle_sql() -> str:
     """
 
 
-def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN multi-probe LSH top-5: probes also search the 2 buckets
-    reached by flipping their lowest-|margin| sign bits."""
-    from overmatch_spark import demo
-    from overmatch_spark.operators.ann import multiprobe_topk
-
-    e = demo.load(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 5)
-    return multiprobe_topk(
-        e, probes, "embedding", "vec_id", k=5, num_planes=6, dim=64, extra=2
-    )
-
-
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=3 near-dup retrieval via exact pigeonhole
     blocking (4 signature blocks; any pair within hamming 3 shares a
@@ -1370,17 +1317,52 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: corpus partitioned by nearest trained centroid
-    (k-means coarse quantizer, a fixed training artifact shared by the
-    oracle as plan literals); probes scan nprobe=2 inverted lists and
+    """IVF ANN top-5, three variant-labelled dials in one row set
+    (consolidated r4; adds the production k=64 quantizer and the
+    clustered-geometry fixture the r3 verdict asked for):
+      - ivf16_np2: the r1 oracle quantizer (16 lists, nprobe=2);
+      - ivf64_np8: the PRODUCTION dial's pinned k=64 artifact
+        (nprobe=8; corpus halved to vec_id%2=0 to bound the DuckDB
+        twin's lambda cost — the quantizer math is identical);
+      - clustered_np1: ivf over the deterministic CLUSTERED view of
+        the same embeddings (ann.clustered_view) with its analytic
+        16-center quantizer — the geometry where list pruning
+        actually pays (nprobe=1 = 1/16 of the lists).
+    Corpus partitioned by nearest-centroid id (at rest the table's
+    partition key -> partition pruning); probes scan nprobe lists and
     re-rank by exact cosine."""
     from overmatch_spark import demo
-    from overmatch_spark.operators.ann import ivf_topk, reference_ivf_centroids
+    from overmatch_spark.operators.ann import (
+        clustered_centers,
+        clustered_view,
+        ivf_topk,
+        reference_ivf_centroids,
+    )
 
-    cents = reference_ivf_centroids()
     e = demo.load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return ivf_topk(e, probes, "embedding", "vec_id", cents, k=5, nprobe=2)
+    v16 = ivf_topk(
+        e, probes, "embedding", "vec_id", reference_ivf_centroids(16),
+        k=5, nprobe=2,
+    ).withColumn("variant", F.lit("ivf16_np2"))
+
+    e_half = e.filter(F.col("vec_id") % 2 == 0)
+    v64 = ivf_topk(
+        e_half, probes.filter(F.col("vec_id") % 2 == 0), "embedding",
+        "vec_id", reference_ivf_centroids(64), k=5, nprobe=8,
+    ).withColumn("variant", F.lit("ivf64_np8"))
+
+    ec = e.select(
+        "vec_id",
+        clustered_view(
+            F.col("embedding").cast("array<double>"), F.col("vec_id")
+        ).alias("embedding"),
+    )
+    vc = ivf_topk(
+        ec, ec.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+        clustered_centers(), k=5, nprobe=1,
+    ).withColumn("variant", F.lit("clustered_np1"))
+    return v16.unionByName(v64).unionByName(vc)
 
 
 def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,48 +1485,55 @@ def q_wide_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (the driver's correctness harness verifies
+    the first 50): the r3 dict had 58, so 8 rows silently aged out of
+    the evidence window. Consolidated r4 by MERGING near-duplicate
+    rows (struct_ops+struct_nested+hausdorff -> struct_roundtrip,
+    closest_match+merge_tags -> closest_merge, seen_upsert+seen_replay
+    -> seen_store, text_stats+lang_quality_summary -> text_analysis,
+    dedup_clusters+dedup_keep_best -> dedup_clusters,
+    geojson_features+geojson_scan -> geojson_roundtrip,
+    ann_lsh+ann_multiprobe -> ann_lsh_topk, ann_ivf16+new ivf64+new
+    clustered fixture -> ann_ivf_topk) — every operator keeps oracle
+    evidence, nothing is silently unverified."""
     return {
         "conflate_matches": q_conflate_matches,
         "conflate_stats": q_conflate_stats,
         "grouped_matches": q_grouped_matches,
         "knn_fallback": q_knn_fallback,
+        "checkpointed_conflate": q_checkpointed_conflate,
         "tile_counts_z12": q_tile_counts_z12,
         "tile_bounds_roundtrip": q_tile_bounds_roundtrip,
         "pip_filter": q_pip_filter,
         "match_quality": q_match_quality,
         "tag_transform": q_tag_transform,
         "enrich_marked_counts": q_enrich_marked_counts,
-        "seen_upsert": q_seen_upsert,
+        "seen_store": q_seen_store,
         "tile_density_drop": q_tile_density_drop,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_hamming": q_simhash_hamming,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "text_stats": q_text_stats,
-        "lang_quality_summary": q_lang_quality_summary,
-        "closest_match": q_closest_match,
-        "merge_tags": q_merge_tags,
-        "struct_ops": q_struct_ops,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_analysis": q_text_analysis,
+        "closest_merge": q_closest_merge,
+        "struct_roundtrip": q_struct_roundtrip,
         "det_shuffle": q_det_shuffle,
-        "hausdorff": q_hausdorff,
         "tag_diff": q_tag_diff,
-        "geojson_features": q_geojson_features,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "osmchange_xml": q_osmchange_xml,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        "geojson_scan": q_geojson_scan,
         "csv_taxonomy": q_csv_taxonomy,
         "latest_release": q_latest_release,
         "probe_lookup": q_probe_lookup,
         "skip_existing": q_skip_existing,
         "auto_zoom": q_auto_zoom,
         "category_tags": q_category_tags,
-        "struct_nested": q_struct_nested,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "seen_replay": q_seen_replay,
         "image_features": q_image_features,
         "image_curation": q_image_curation,
         "video_frames": q_video_frames,
@@ -1554,12 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "dedup_first_arrival": q_dedup_first_arrival,
         "dedup_corpus": q_dedup_corpus,
-        "simhash_hamming": q_simhash_hamming,
         "windowed_counts": q_windowed_counts,
         "event_sessions": q_event_sessions,
-        "checkpointed_conflate": q_checkpointed_conflate,
-        "ann_multiprobe_topk": q_ann_multiprobe_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "error_budget": q_error_budget,
         "wide_projection": q_wide_projection,
     }
@@ -1725,7 +1710,7 @@ def _oracle_sql_extended() -> dict[str, str]:
         LEFT JOIN osm_seen o ON m.osm_id = o.element_id
         LEFT JOIN ov_seen v ON m.overture_id = v.element_id
     """
-    upsert_sql = f"""
+    seen_store_sql = f"""
         WITH {seen_cte.strip()},
         batch AS (
           SELECT concat('node/', CAST(c_custkey AS VARCHAR)) AS element_id,
@@ -1736,10 +1721,20 @@ def _oracle_sql_extended() -> dict[str, str]:
           SELECT element_id, first_seen, last_seen FROM osm_seen
           UNION ALL
           SELECT element_id, seen_at, seen_at FROM batch
+        ),
+        replay_batches AS (
+          SELECT concat('node/', CAST(c_custkey AS VARCHAR)) AS element_id,
+                 CAST((c_custkey * (7 + i)) % 3000 + 100 * i AS BIGINT) AS seen_at
+          FROM customer, (VALUES (0), (1), (2)) AS t(i)
+          WHERE c_custkey % 3 = i OR c_custkey % 5 = i
         )
         SELECT element_id, min(first_seen) AS first_seen,
-               max(last_seen) AS last_seen
+               max(last_seen) AS last_seen, 'upsert' AS src
         FROM unioned GROUP BY element_id
+        UNION ALL
+        SELECT element_id, min(seen_at) AS first_seen,
+               max(seen_at) AS last_seen, 'replay' AS src
+        FROM replay_batches GROUP BY element_id
     """
 
     # --- tile density drop ---
@@ -1884,51 +1879,27 @@ def _oracle_sql_extended() -> dict[str, str]:
         SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
     """
 
-    planes6 = dd.hyperplanes(6, 64)
-    bucket6 = dd.sql_embedding_bucket("v", planes6)
-    ann_lsh_sql = f"""
-        WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        bk AS (SELECT vec_id, v, {bucket6} AS bucket FROM e),
-        scored AS (
-          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-                 round({cospc.replace('p.v', 'p.v').replace('c.v', 'c.v')}, 9) AS cos_sim
-          FROM bk p JOIN bk c ON p.bucket = c.bucket AND c.vec_id != p.vec_id
-          WHERE p.vec_id < 5
-        ),
-        ranked AS (
-          SELECT *, CAST(row_number() OVER (
-                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
-                 ) AS BIGINT) AS rank
-          FROM scored
-        )
-        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
-    """
-
-    text_stats_sql = f"""
-        SELECT doc_id,
-               {ta.sql_token_count('text')} AS n_tokens,
-               {ta.sql_bpe_ish_token_estimate('text')} AS n_tokens_bpe,
-               {ta.sql_lang_id('text')} AS pred_lang,
-               {ta.sql_quality_score('text')} AS quality,
-               {ta.sql_fingerprint('text')} AS fp
-        FROM documents
-    """
-    lang_summary_sql = f"""
+    text_analysis_sql = f"""
         WITH t AS (
-          SELECT {ta.sql_lang_id('text')} AS pred_lang,
-                 {ta.sql_quality_score('text')} AS q
+          SELECT doc_id,
+                 {ta.sql_token_count('text')} AS n_tokens,
+                 {ta.sql_bpe_ish_token_estimate('text')} AS n_tokens_bpe,
+                 {ta.sql_lang_id('text')} AS pred_lang,
+                 {ta.sql_quality_score('text')} AS quality,
+                 {ta.sql_fingerprint('text')} AS fp
           FROM documents
         )
-        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n,
-               round(avg(q), 6) AS avg_quality
-        FROM t GROUP BY pred_lang
+        SELECT doc_id, n_tokens, n_tokens_bpe, pred_lang, quality, fp,
+               CAST(count(*) OVER (PARTITION BY pred_lang) AS BIGINT)
+                 AS lang_n,
+               round(avg(quality) OVER (PARTITION BY pred_lang), 6)
+                 AS lang_avg_quality
+        FROM t
     """
 
     multi = demo.sql_layers_cte_multi()
     cats_sql = "[" + ", ".join(f"'{c}'" for c in _TAG_CATS) + "]"
-    closest_sql = f"""
+    closest_merge_sql = f"""
         {multi},{demo.SQL_MATCHES},{demo.SQL_MATCHES2.lstrip().lstrip(',')}
         , all_m AS (
           SELECT * FROM matches UNION ALL SELECT * FROM matches2
@@ -1939,27 +1910,28 @@ def _oracle_sql_extended() -> dict[str, str]:
                    PARTITION BY osm_id ORDER BY distance_m, overture_id
                  ) AS rn
           FROM all_m
-        )
-        SELECT osm_id, overture_id, distance_m FROM ranked WHERE rn = 1
-    """
-    merge_sql = f"""
-        {multi},{demo.SQL_MATCHES},{demo.SQL_MATCHES2.lstrip().lstrip(',')}
-        , k2 AS (
+        ),
+        k2 AS (
           SELECT m2.osm_id,
                  CAST(string_split(m2.overture_id, '/')[2] AS BIGINT) AS key,
                  m1.osm_id IS NOT NULL AS has_b1
           FROM matches2 m2 LEFT JOIN matches m1 ON m1.osm_id = m2.osm_id
+        ),
+        merged AS (
+          SELECT osm_id,
+                 CASE WHEN has_b1 THEN
+                   concat('amenity=', {cats_sql}[CAST(key % 4 AS INTEGER) + 1],
+                          ';ref=', CAST(key AS VARCHAR),
+                          ';website=https://ex', CAST(key AS VARCHAR))
+                 ELSE
+                   concat('amenity=second_source;website=https://ex',
+                          CAST(key AS VARCHAR))
+                 END AS merged
+          FROM k2
         )
-        SELECT osm_id,
-               CASE WHEN has_b1 THEN
-                 concat('amenity=', {cats_sql}[CAST(key % 4 AS INTEGER) + 1],
-                        ';ref=', CAST(key AS VARCHAR),
-                        ';website=https://ex', CAST(key AS VARCHAR))
-               ELSE
-                 concat('amenity=second_source;website=https://ex',
-                        CAST(key AS VARCHAR))
-               END AS merged
-        FROM k2
+        SELECT r.osm_id, r.overture_id, r.distance_m, g.merged
+        FROM ranked r LEFT JOIN merged g ON g.osm_id = r.osm_id
+        WHERE r.rn = 1
     """
 
     from overmatch_spark.operators import structs
@@ -1970,20 +1942,35 @@ def _oracle_sql_extended() -> dict[str, str]:
     )
     wlon, wlat = structs.sql_parse_wkt_point("wkt")
     cx, cy = structs.sql_centroid("xs", "ys")
-    struct_ops_sql = f"""
+    vocab = demo.SQL_VOCAB_NAME
+    struct_roundtrip_sql = f"""
         WITH base AS (
-          SELECT c_custkey AS id, {wkt_in} AS wkt,
+          SELECT c_custkey AS id, c_custkey AS key, {wkt_in} AS wkt,
                  [CAST(c_custkey AS DOUBLE), CAST(c_custkey + 1 AS DOUBLE),
                   CAST(c_custkey + 5 AS DOUBLE)] AS xs,
                  [CAST(c_custkey * 2 AS DOUBLE), CAST(c_custkey * 2 + 3 AS DOUBLE),
                   CAST(c_custkey * 2 + 9 AS DOUBLE)] AS ys,
-                 concat('node/', CAST(c_custkey AS VARCHAR)) AS osm_id
+                 concat('node/', CAST(c_custkey AS VARCHAR)) AS osm_id,
+                 [CAST(c_custkey AS DOUBLE), CAST(c_custkey + 10 AS DOUBLE),
+                  CAST(c_custkey + 3 AS DOUBLE)] AS xa,
+                 [CAST(c_custkey * 2 AS DOUBLE), CAST(c_custkey * 2 + 4 AS DOUBLE),
+                  CAST(c_custkey * 2 + 11 AS DOUBLE)] AS ya,
+                 [CAST(c_custkey + 1 AS DOUBLE), CAST(c_custkey + 7 AS DOUBLE)] AS xb,
+                 [CAST(c_custkey * 2 + 2 AS DOUBLE),
+                  CAST(c_custkey * 2 + 5 AS DOUBLE)] AS yb
           FROM customer
         )
         SELECT id, {wlon} AS wlon, {wlat} AS wlat,
                {cx} AS cx, {cy} AS cy,
                string_split(osm_id, '/')[1] AS osm_type,
-               CAST(string_split(osm_id, '/')[2] AS BIGINT) AS osm_num
+               CAST(string_split(osm_id, '/')[2] AS BIGINT) AS osm_num,
+               {vocab} AS names_primary,
+               CAST(NULL AS VARCHAR) AS names_rules,
+               CASE WHEN key % 3 = 0 THEN '2025-04-01T00:00:00Z'
+                    ELSE '2025-04-02T12:30:15.000Z' END AS ut0,
+               '2024-01-05T00:00:00Z' AS ut1,
+               round({X.sql_hausdorff('xa', 'ya', 'xb', 'yb')}, 6)
+                 AS hausdorff_m
         FROM base
     """
     det_shuffle_sql = f"""
@@ -1993,24 +1980,6 @@ def _oracle_sql_extended() -> dict[str, str]:
                           c_custkey
                ) AS BIGINT) AS pos
         FROM customer
-    """
-
-    hxa = ("[CAST(c_custkey AS DOUBLE), CAST(c_custkey + 10 AS DOUBLE), "
-           "CAST(c_custkey + 3 AS DOUBLE)]")
-    hya = ("[CAST(c_custkey * 2 AS DOUBLE), CAST(c_custkey * 2 + 4 AS DOUBLE), "
-           "CAST(c_custkey * 2 + 11 AS DOUBLE)]")
-    hxb = "[CAST(c_custkey + 1 AS DOUBLE), CAST(c_custkey + 7 AS DOUBLE)]"
-    hyb = ("[CAST(c_custkey * 2 + 2 AS DOUBLE), "
-           "CAST(c_custkey * 2 + 5 AS DOUBLE)]")
-    hausdorff_sql = f"""
-        WITH v AS (
-          SELECT c_custkey AS id, {hxa} AS xa, {hya} AS ya,
-                 {hxb} AS xb, {hyb} AS yb
-          FROM customer
-        )
-        SELECT id, round({X.sql_hausdorff('xa', 'ya', 'xb', 'yb')}, 6)
-               AS hausdorff_m
-        FROM v
     """
 
     osm_cats_sql = "[" + ", ".join(f"'{c}'" for c in _OSM_CATS) + "]"
@@ -2062,18 +2031,16 @@ def _oracle_sql_extended() -> dict[str, str]:
     """
 
     return {
-        "closest_match": closest_sql,
-        "merge_tags": merge_sql,
+        "closest_merge": closest_merge_sql,
         "tag_diff": tag_diff_sql,
         "tile_bounds_roundtrip": tile_bounds_sql,
-        "struct_ops": struct_ops_sql,
+        "struct_roundtrip": struct_roundtrip_sql,
         "det_shuffle": det_shuffle_sql,
-        "hausdorff": hausdorff_sql,
         "pip_filter": pip_sql,
         "match_quality": quality_sql,
         "tag_transform": tag_sql,
         "enrich_marked_counts": enrich_sql,
-        "seen_upsert": upsert_sql,
+        "seen_store": seen_store_sql,
         "tile_density_drop": tile_drop_sql,
         "exact_dedup": exact_sql,
         "minhash_pairs": minhash_sql,
@@ -2081,28 +2048,8 @@ def _oracle_sql_extended() -> dict[str, str]:
         "ngram_jaccard": ngram_sql,
         "embedding_near_dups": embdup_sql,
         "ann_brute_topk": ann_brute_sql,
-        "ann_lsh_topk": ann_lsh_sql,
-        "text_stats": text_stats_sql,
-        "lang_quality_summary": lang_summary_sql,
+        "text_analysis": text_analysis_sql,
         "dedup_clusters": f"""
-            {minhash_cte.replace("WITH corpus", "WITH RECURSIVE corpus", 1)},
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
-              UNION ALL
-              SELECT id_b AS src, id_a AS dst FROM scored WHERE jaccard >= 0.5
-            ),
-            comp(node, label) AS (
-              SELECT DISTINCT src, src FROM edges
-              UNION
-              SELECT e.src, c.label FROM edges e JOIN comp c ON c.node = e.dst
-            ),
-            labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node)
-            SELECT c.doc_id,
-                   coalesce(l.cluster_id, c.doc_id) AS cluster_id,
-                   coalesce(l.cluster_id, c.doc_id) = c.doc_id AS survivor
-            FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
-        """,
-        "dedup_keep_best": f"""
             {minhash_cte.replace("WITH corpus", "WITH RECURSIVE corpus", 1)},
             edges AS (
               SELECT id_a AS src, id_b AS dst FROM scored WHERE jaccard >= 0.5
@@ -2122,9 +2069,10 @@ def _oracle_sql_extended() -> dict[str, str]:
               FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
             )
             SELECT doc_id, cluster_id,
+                   cluster_id = doc_id AS survivor_min,
                    (row_number() OVER (
                       PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
-                    ) = 1) AS survivor
+                    ) = 1) AS survivor_best
             FROM clustered
         """,
         "dedup_corpus": f"""
@@ -2152,18 +2100,6 @@ def _oracle_sql_extended() -> dict[str, str]:
               ) AS rn FROM clustered
             )
             SELECT doc_id, text, score FROM ranked WHERE rn = 1
-        """,
-        "seen_replay": """
-            WITH batches AS (
-              SELECT concat('node/', CAST(c_custkey AS VARCHAR)) AS element_id,
-                     CAST((c_custkey * (7 + i)) % 3000 + 100 * i AS BIGINT) AS seen_at
-              FROM customer, (VALUES (0), (1), (2)) AS t(i)
-              WHERE c_custkey % 3 = i OR c_custkey % 5 = i
-            )
-            SELECT element_id,
-                   min(seen_at) AS first_seen,
-                   max(seen_at) AS last_seen
-            FROM batches GROUP BY element_id
         """,
         "image_features": _image_features_oracle_sql(),
         "image_curation": _image_curation_oracle_sql(),
@@ -2248,14 +2184,16 @@ def _oracle_sql_round2() -> dict[str, str]:
     syn = "syn AS (SELECT c_custkey AS key FROM customer)"
     vocab = demo.SQL_VOCAB_NAME
 
-    props_sql = "concat('{\"osm_id\":\"', osm_id, '\"}')"
+    key_sql = "CAST(string_split(overture_id, '/')[2] AS BIGINT)"
+    props_sql = (
+        "concat('{\"osm_id\":\"', osm_id, '\",\"ok\":', "
+        f"CAST({key_sql} AS VARCHAR), '}}')"
+    )
     geojson_sql = f"""
         {matches_cte}
         SELECT osm_id,
-               {sql_geojson_point_feature(
-                   'lon', 'lat',
-                   "CAST(string_split(overture_id, '/')[2] AS BIGINT)",
-                   props_sql)} AS feature
+               {sql_geojson_point_feature('lon', 'lat', key_sql, props_sql)}
+                 AS feature
         FROM matches
     """
 
@@ -2280,14 +2218,6 @@ def _oracle_sql_round2() -> dict[str, str]:
                CASE WHEN key % 11 = 3 THEN NULL ELSE {vocab} END AS name,
                CAST(key * 17 % 1000 AS BIGINT) AS val
         FROM syn
-    """
-
-    geojson_scan_sql = """
-        SELECT concat('node/', CAST(n_nationkey AS VARCHAR)) AS id,
-               n_name AS name,
-               CAST(n_nationkey % 360 - 180 AS BIGINT) AS lon,
-               CAST(n_nationkey % 170 - 85 AS BIGINT) AS lat
-        FROM nation
     """
 
     csv_sql = """
@@ -2339,43 +2269,51 @@ def _oracle_sql_round2() -> dict[str, str]:
         FROM syn
     """
 
-    struct_nested_sql = f"""
-        WITH {syn}
-        SELECT key AS id,
-               {vocab} AS names_primary,
-               CAST(NULL AS VARCHAR) AS names_rules,
-               CASE WHEN key % 3 = 0 THEN '2025-04-01T00:00:00Z'
-                    ELSE '2025-04-02T12:30:15.000Z' END AS ut0,
-               '2024-01-05T00:00:00Z' AS ut1
-        FROM syn
-    """
-
     planes6 = dd.hyperplanes(6, 64)
     bucket6 = dd.sql_embedding_bucket("v", planes6)
     mp = dd.sql_multiprobe_buckets("v", planes6, 2)
-    cospc = dd.sql_cosine("pb.pv", "c.v")
-    ann_multiprobe_sql = f"""
+    ann_lsh_sql = f"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         bk AS (SELECT vec_id, v, {bucket6} AS bucket FROM e),
+        sp AS (
+          SELECT vec_id AS probe_id, v AS pv, bucket
+          FROM bk WHERE vec_id < 5
+        ),
+        s_scored AS (
+          SELECT sp.probe_id, c.vec_id AS cand_id,
+                 round({dd.sql_cosine('sp.pv', 'c.v')}, 9) AS cos_sim
+          FROM bk c JOIN sp ON c.bucket = sp.bucket
+          WHERE c.vec_id != sp.probe_id
+        ),
+        s_ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM s_scored
+        ),
         pb AS (
           SELECT vec_id AS probe_id, v AS pv, unnest({mp}) AS bucket
           FROM e WHERE vec_id < 5
         ),
-        scored AS (
+        m_scored AS (
           SELECT pb.probe_id, c.vec_id AS cand_id,
-                 round({cospc}, 9) AS cos_sim
+                 round({dd.sql_cosine('pb.pv', 'c.v')}, 9) AS cos_sim
           FROM bk c JOIN pb ON c.bucket = pb.bucket
           WHERE c.vec_id != pb.probe_id
         ),
-        ranked AS (
+        m_ranked AS (
           SELECT *, CAST(row_number() OVER (
                    PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
                  ) AS BIGINT) AS rank
-          FROM scored
+          FROM m_scored
         )
-        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        SELECT probe_id, cand_id, cos_sim, rank, 'lsh' AS variant
+        FROM s_ranked WHERE rank <= 5
+        UNION ALL
+        SELECT probe_id, cand_id, cos_sim, rank, 'multiprobe' AS variant
+        FROM m_ranked WHERE rank <= 5
     """
 
     error_budget_sql = """
@@ -2383,35 +2321,86 @@ def _oracle_sql_round2() -> dict[str, str]:
     """
 
     from overmatch_spark.operators.ann import (
+        clustered_centers,
         reference_ivf_centroids,
+        sql_clustered_view,
         sql_ivf_assign,
         sql_ivf_probe_list,
     )
 
-    cents = reference_ivf_centroids()
+    cents16 = reference_ivf_centroids(16)
+    cents64 = reference_ivf_centroids(64)
+    centsc = clustered_centers()
     ann_ivf_sql = f"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
-        c AS (SELECT vec_id, v, {sql_ivf_assign('v', cents)} AS ivf FROM e),
-        pb AS (
+        c16 AS (SELECT vec_id, v, {sql_ivf_assign('v', cents16)} AS ivf FROM e),
+        p16 AS (
           SELECT vec_id AS probe_id, v AS pv,
-                 unnest({sql_ivf_probe_list('v', cents, 2)}) AS ivf
+                 unnest({sql_ivf_probe_list('v', cents16, 2)}) AS ivf
           FROM e WHERE vec_id < 5
         ),
-        scored AS (
-          SELECT pb.probe_id, c.vec_id AS cand_id,
-                 round({dd.sql_cosine('pb.pv', 'c.v')}, 9) AS cos_sim
-          FROM c JOIN pb ON c.ivf = pb.ivf
-          WHERE c.vec_id != pb.probe_id
+        s16 AS (
+          SELECT p16.probe_id, c16.vec_id AS cand_id,
+                 round({dd.sql_cosine('p16.pv', 'c16.v')}, 9) AS cos_sim
+          FROM c16 JOIN p16 ON c16.ivf = p16.ivf
+          WHERE c16.vec_id != p16.probe_id
         ),
-        ranked AS (
+        r16 AS (
           SELECT *, CAST(row_number() OVER (
                    PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
                  ) AS BIGINT) AS rank
-          FROM scored
+          FROM s16
+        ),
+        eh AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        c64 AS (SELECT vec_id, v, {sql_ivf_assign('v', cents64)} AS ivf FROM eh),
+        p64 AS (
+          SELECT vec_id AS probe_id, v AS pv,
+                 unnest({sql_ivf_probe_list('v', cents64, 8)}) AS ivf
+          FROM eh WHERE vec_id < 5
+        ),
+        s64 AS (
+          SELECT p64.probe_id, c64.vec_id AS cand_id,
+                 round({dd.sql_cosine('p64.pv', 'c64.v')}, 9) AS cos_sim
+          FROM c64 JOIN p64 ON c64.ivf = p64.ivf
+          WHERE c64.vec_id != p64.probe_id
+        ),
+        r64 AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM s64
+        ),
+        ec AS (
+          SELECT vec_id, {sql_clustered_view('v', 'vec_id')} AS v FROM e
+        ),
+        cc AS (SELECT vec_id, v, {sql_ivf_assign('v', centsc)} AS ivf FROM ec),
+        pc AS (
+          SELECT vec_id AS probe_id, v AS pv,
+                 unnest({sql_ivf_probe_list('v', centsc, 1)}) AS ivf
+          FROM ec WHERE vec_id < 5
+        ),
+        sc AS (
+          SELECT pc.probe_id, cc.vec_id AS cand_id,
+                 round({dd.sql_cosine('pc.pv', 'cc.v')}, 9) AS cos_sim
+          FROM cc JOIN pc ON cc.ivf = pc.ivf
+          WHERE cc.vec_id != pc.probe_id
+        ),
+        rc AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM sc
         )
-        SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        SELECT probe_id, cand_id, cos_sim, rank, 'ivf16_np2' AS variant
+        FROM r16 WHERE rank <= 5
+        UNION ALL
+        SELECT probe_id, cand_id, cos_sim, rank, 'ivf64_np8' AS variant
+        FROM r64 WHERE rank <= 5
+        UNION ALL
+        SELECT probe_id, cand_id, cos_sim, rank, 'clustered_np1' AS variant
+        FROM rc WHERE rank <= 5
     """
 
     sh3 = dd.sql_shingles("text", 3)
@@ -2497,18 +2486,16 @@ def _oracle_sql_round2() -> dict[str, str]:
     """
 
     return {
-        "geojson_features": geojson_sql,
+        "geojson_roundtrip": geojson_sql,
         "osmchange_xml": osmchange_sql,
         "jsonl_roundtrip": jsonl_sql,
-        "geojson_scan": geojson_scan_sql,
         "csv_taxonomy": csv_sql,
         "latest_release": latest_sql,
         "probe_lookup": probe_lookup_sql,
         "skip_existing": skip_existing_sql,
         "auto_zoom": auto_zoom_sql,
         "category_tags": category_tags_sql,
-        "struct_nested": struct_nested_sql,
-        "ann_multiprobe_topk": ann_multiprobe_sql,
+        "ann_lsh_topk": ann_lsh_sql,
         "ann_ivf_topk": ann_ivf_sql,
         "error_budget": error_budget_sql,
         "simhash_hamming": simhash_hamming_sql,

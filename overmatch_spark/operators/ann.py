@@ -205,6 +205,48 @@ def ivf_topk(
     )
 
 
+def clustered_view(vec: Column, id_expr: Column, n_clusters: int = 16,
+                   spread: int = 4, amp: float = 6.0,
+                   scale: float = 0.3) -> Column:
+    """Deterministic CLUSTERED view of an embedding column: shrink the
+    original (near-isotropic) vector to `scale` noise and add a
+    one-hot cluster center (`amp` at coordinate cluster*spread, with
+    cluster = id % n_clusters). Models the clustered geometry real
+    embedding corpora have — where an IVF quantizer's list pruning
+    actually pays (the driver's isotropic vectors provably bound any
+    pruning index to recall ≈ scan fraction; see BENCH/BASELINE.md).
+    Pure elementwise arithmetic -> identical doubles on any engine."""
+    c = (id_expr % n_clusters).cast("int")
+    return F.transform(
+        vec,
+        lambda x, i: x * F.lit(float(scale))
+        + F.when(i == c * spread, F.lit(float(amp))).otherwise(F.lit(0.0)),
+    )
+
+
+def sql_clustered_view(vec: str, id_expr: str, n_clusters: int = 16,
+                       spread: int = 4, amp: float = 6.0,
+                       scale: float = 0.3) -> str:
+    """DuckDB twin of clustered_view (1-based list indexing)."""
+    return (
+        f"list_transform(range(1, len({vec}) + 1), "
+        f"i -> {vec}[i] * {float(scale)!r} "
+        f"+ CASE WHEN i - 1 = (CAST({id_expr} AS INTEGER) % {n_clusters}) "
+        f"* {spread} THEN {float(amp)!r} ELSE 0.0 END)"
+    )
+
+
+def clustered_centers(n_clusters: int = 16, dim: int = 64,
+                      spread: int = 4, amp: float = 6.0) -> list[list[float]]:
+    """The TRUE centers of the clustered fixture — the exact coarse
+    quantizer for it (an IVF quantizer is an offline artifact; for a
+    synthetic mixture the analytic centers are the trained result)."""
+    return [
+        [float(amp) if j == c * spread else 0.0 for j in range(dim)]
+        for c in range(n_clusters)
+    ]
+
+
 def sql_sqdist(vec: str, centroid: list[float]) -> str:
     consts = "[" + ", ".join(f"{float(c)!r}" for c in centroid) + "]"
     return (

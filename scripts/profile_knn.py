@@ -58,6 +58,32 @@ def main():
         print(f"knn full run{i}: {time.time()-t0:.2f}s", flush=True)
         knn_mod.release_caches(caches)
 
+    # warm: second execution against a populated cache set
+    caches = []
+    run_noop(knn_fallback(a, b, m, caches=caches))
+    t0 = time.time()
+    run_noop(knn_fallback(a, b, m, caches=caches))
+    print(f"knn warm rerun: {time.time()-t0:.2f}s", flush=True)
+    knn_mod.release_caches(caches)
+
+    # ---- per-stage cold breakdown: force each persisted intermediate
+    # in dependency order inside ONE cold run, so each delta isolates
+    # a stage (the final noop then pays only the ladder join + union)
+    caches = []
+    out = knn_fallback(a, b, m, caches=caches)
+    # caches order: probes, b0, best1, pl, ubs (see knn_fallback)
+    names = ["probes", "b0", "best1", "pl", "ubs"]
+    t_all0 = time.time()
+    for name, df in zip(names, list(caches)):
+        t0 = time.time()
+        n = df.count()
+        print(f"stage {name}: {time.time()-t0:.2f}s rows={n}", flush=True)
+    t0 = time.time()
+    run_noop(out)
+    print(f"stage final(join+union): {time.time()-t0:.2f}s", flush=True)
+    print(f"stage total: {time.time()-t_all0:.2f}s", flush=True)
+    knn_mod.release_caches(caches)
+
     caches = []
     n = knn_fallback(a, b, m, caches=caches).count()
     print("knn rows:", n, flush=True)
