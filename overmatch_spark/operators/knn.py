@@ -27,9 +27,10 @@ nearest-neighbor fallback for them. Two-phase exact algorithm:
   ub <= 2*edge —
   so its dynamic cover is ALWAYS <= 6x6 cells regardless of how far
   its nearest neighbor is — and joins the cached build side once on
-  the (level, cell) equi-key. The build side enumerates ladder
-  levels semi-join-pruned (lazily) to the levels any probe actually
-  chose (typically just res0). Level choice shapes the physical search
+  the (level, cell) equi-key. The build side is the LAZY broadcast
+  cross product needed-levels x b0, so it materializes exactly the
+  levels some probe actually chose — zero build rows in the common
+  all-fine case. Level choice shapes the physical search
   only; any level is exact because a dynamic cover of radius ub
   contains the whole disk that provably holds the nearest + its
   mm-rounded ties.
@@ -379,11 +380,17 @@ def knn_fallback(
             _dyn_cover(F.col("ax"), F.col("ay"), F.col("ub"), F.col("lvl"))
         ).alias("lcell"),
     )
-    levels = F.array(*[F.lit(r) for r in range(res0 - 2, -1, -2)])
+    # build side = needed-levels x b0 via a broadcast cross join (the
+    # lazy replacement for explode(all levels) + semi-join, which
+    # streamed |b| x n_levels rows through the filter even in the
+    # common case where NO probe is coarse — this emits exactly
+    # |needed| x |b| rows, i.e. zero when the coarse set is empty,
+    # while staying lazy/consistent under cache recomputation; the
+    # driver-collected level list remains rejected, see above)
     needed = coarse.select("lvl").distinct()
     b_ladder = (
-        b0.withColumn("lvl", F.explode(levels))
-        .join(F.broadcast(needed), "lvl", "left_semi")
+        F.broadcast(needed)
+        .crossJoin(b0)
         .select(
             "lvl",
             F.floor(

@@ -138,31 +138,38 @@ def main():
         "knn reuses ONE cached build table across phases (>=3 cache scans)",
         len(re.findall(r"InMemoryTableScan", knn_plan)) >= 3,
     )
-    # The histogram prune is the ONLY nested-loop shape allowed. The
-    # formatted plan reprints a cached relation's stored plan at each
-    # of its scan sites, so occurrences are counted by SHAPE, not
-    # number: every BNLJ tree line must be the broadcast Cross
-    # BuildRight histogram, and nothing may fall back to a cartesian.
+    # TWO broadcast nested-loop shapes are allowed, both provably
+    # bounded: the histogram prune (tiny bbox table broadcast,
+    # identified by xlo in the consumer's Input line) and the ladder
+    # build prune (needed-levels x b0, broadcast side <= n_ladder
+    # levels rows, zero output in the common all-fine case —
+    # identified by lvl + overture_id). The formatted plan reprints a
+    # cached relation's stored plan at each scan site, so occurrences
+    # are counted by SHAPE, not number; nothing may fall back to a
+    # cartesian. (The BNLJ detail block prints only join type; its
+    # output columns appear as the immediate consumer's Input line,
+    # within the next few hundred chars.)
     bnlj_types = re.findall(
         r"BroadcastNestedLoopJoin ([A-Za-z ]+)\(\d+\)", knn_plan
     )
-    # every BNLJ detail entry must OUTPUT the histogram's bbox
-    # columns — identifying each nested-loop occurrence as the
-    # histogram prune specifically, not merely any broadcast cross
-    # (the formatted plan reprints a cached subtree at each scan
-    # site, so identity is checked by shape+output, not by count)
-    # (the BNLJ detail block prints only join type/condition; its
-    # output columns appear as the immediate consumer's Input line,
-    # within the next few hundred chars)
     bnlj_blocks = re.split(
         r"\(\d+\) BroadcastNestedLoopJoin", knn_plan
     )[1:]
+
+    def _bounded_bnlj(blk):
+        head = blk[:800]
+        hist = "xlo" in head
+        ladder = "lvl" in head and "overture_id" in head
+        return hist or ladder
+
     check(
-        "knn nested-loop joins are ONLY the broadcast histogram prune",
+        "knn nested-loop joins are ONLY the bounded broadcast prunes "
+        "(histogram bbox / needed-levels ladder)",
         len(bnlj_types) >= 1
-        and all(t.strip() == "Cross BuildRight" for t in bnlj_types)
+        and all(t.strip() in ("Cross BuildRight", "Cross BuildLeft")
+                for t in bnlj_types)
         and len(bnlj_blocks) >= 1
-        and all("xlo" in blk[:800] for blk in bnlj_blocks)
+        and all(_bounded_bnlj(blk) for blk in bnlj_blocks)
         and "CartesianProduct" not in knn_plan,
     )
     check(
