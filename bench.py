@@ -238,14 +238,22 @@ def main():
             .select((F.col("k0") * F.lit(mult) + F.col("rep")).alias("k"))
             .repartition(2 * cpus)
         )
-        am = demo.spark_layer_a(spark, sf_dir, None, "k", df=li_m)
-        bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m)
+        # persist the derived layers — the SAME input-materialization
+        # rationale as the headline (bench_layers): on a real
+        # deployment these are parquet tables and every timed run
+        # scans the same bytes; deriving the ~20-expression synthetic
+        # input inside the timed window would measure the fixture, not
+        # the engine
+        am = demo.spark_layer_a(spark, sf_dir, None, "k", df=li_m).persist()
+        bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m).persist()
+        am.count(), bm.count()
         runs = []
         for _ in range(runs_n):
             t0 = time.time()
             run_noop(conflate(am, bm))
             runs.append(round(time.time() - t0, 3))
             _note(f"scale {mult}x run: {runs[-1]}s")
+        am.unpersist(), bm.unpersist()
         return runs
 
     probe_scale_before = probe_window()

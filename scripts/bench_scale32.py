@@ -51,8 +51,11 @@ def main():
         .select((F.col("k0") * F.lit(mult) + F.col("rep")).alias("k"))
         .repartition(2 * cpus)
     )
-    a = demo.spark_layer_a(spark, sf_dir, None, "k", df=li)
-    b = demo.spark_layer_b(spark, sf_dir, None, "k", df=li)
+    # persisted input layers — same input-materialization rationale as
+    # bench.py's headline: timed runs scan materialized input bytes,
+    # not the synthetic 20-expression derivation
+    a = demo.spark_layer_a(spark, sf_dir, None, "k", df=li).persist()
+    b = demo.spark_layer_b(spark, sf_dir, None, "k", df=li).persist()
     warm = (
         spark.range(0, 20_000 * cpus, 1, 2 * cpus)
         .withColumn("s", F.col("id").cast("string"))
@@ -60,6 +63,7 @@ def main():
     )
     warm.write.format("noop").mode("overwrite").save()
     n = a.count()
+    b.count()
 
     runs = []
     for i in range(3):
