@@ -750,14 +750,16 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6: delimited taxonomy scan (get_categories.py:12-39), file
-    synthesized deterministically from the nation table."""
+    """S6 + S7/A5 consolidated r4: delimited taxonomy scan
+    (get_categories.py:12-39, file synthesized deterministically from
+    the nation table) cross-joined with the 1-row lexicographic
+    latest-release max (get_latest_overture_release.py:4-10)."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    from overmatch_spark.operators.io import read_csv_taxonomy
+    from overmatch_spark import demo
+    from overmatch_spark.operators.io import latest_release, read_csv_taxonomy
 
     t = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
     d = _scratch_dir("overmatch_tax_")
@@ -768,24 +770,34 @@ def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             f.write(f"{k};{nm};r{r}\n")
     tax = read_csv_taxonomy(spark, d)
-    return tax.select(
-        F.col("code").cast("long").alias("code"), "category", "region"
-    )
-
-
-def q_latest_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7/A5: lexicographic latest-release max
-    (get_latest_overture_release.py:4-10) over derived labels."""
-    from overmatch_spark import demo
-    from overmatch_spark.operators.io import latest_release
-
     o = demo.load(spark, sf_dir, "orders")
     rel = F.concat(
         F.lit("2025-"),
         F.lpad((F.col("o_orderkey") % 12 + 1).cast("string"), 2, "0"),
         F.lit(".0"),
     )
-    return latest_release(o.select(rel.alias("release")))
+    latest = latest_release(o.select(rel.alias("release")))
+    return tax.select(
+        F.col("code").cast("long").alias("code"), "category", "region"
+    ).crossJoin(F.broadcast(latest))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (NEW r4): corpus rides the candidate
+    scan as 4-bit-per-subvector codes only (pinned PQ_CODEBOOKS
+    artifact, 64x compression — at 10^12 vectors raw floats cannot
+    live in memory), probes broadcast their ADC lookup tables, the
+    deterministic ADC shortlist re-ranks by exact cosine via an
+    id-keyed join back to the raw vectors."""
+    from overmatch_spark import demo
+    from overmatch_spark.operators.ann import pq_topk, reference_pq_codebooks
+
+    e = demo.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        e, probes, "embedding", "vec_id", reference_pq_codebooks(),
+        k=5, shortlist=20,
+    )
 
 
 def q_probe_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osmchange_xml": q_osmchange_xml,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_taxonomy": q_csv_taxonomy,
-        "latest_release": q_latest_release,
+        "ann_pq_topk": q_ann_pq_topk,
         "probe_lookup": q_probe_lookup,
         "skip_existing": q_skip_existing,
         "auto_zoom": q_auto_zoom,
@@ -2223,15 +2235,11 @@ def _oracle_sql_round2() -> dict[str, str]:
     csv_sql = """
         SELECT CAST(n_nationkey AS BIGINT) AS code,
                n_name AS category,
-               concat('r', CAST(n_regionkey AS VARCHAR)) AS region
+               concat('r', CAST(n_regionkey AS VARCHAR)) AS region,
+               (SELECT max(concat('2025-',
+                       lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0'),
+                       '.0')) FROM orders) AS latest
         FROM nation
-    """
-
-    latest_sql = """
-        SELECT max(concat('2025-',
-                   lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0'),
-                   '.0')) AS latest
-        FROM orders
     """
 
     probe_lookup_sql = f"""
@@ -2323,10 +2331,54 @@ def _oracle_sql_round2() -> dict[str, str]:
     from overmatch_spark.operators.ann import (
         clustered_centers,
         reference_ivf_centroids,
+        reference_pq_codebooks,
         sql_clustered_view,
         sql_ivf_assign,
         sql_ivf_probe_list,
+        sql_pq_adc,
+        sql_pq_codes,
+        sql_pq_lut,
     )
+
+    pq_cb = reference_pq_codebooks()
+    ann_pq_sql = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        coded AS (
+          SELECT vec_id AS cand_id, {sql_pq_codes('v', pq_cb)} AS codes FROM e
+        ),
+        pr AS (
+          SELECT vec_id AS probe_id, v AS pv, {sql_pq_lut('v', pq_cb)} AS lut
+          FROM e WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT pr.probe_id, coded.cand_id,
+                 {sql_pq_adc('codes', 'lut', len(pq_cb))} AS adc
+          FROM coded, pr WHERE coded.cand_id != pr.probe_id
+        ),
+        short AS (
+          SELECT probe_id, cand_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY probe_id ORDER BY adc, cand_id
+            ) AS srank FROM scored
+          ) WHERE srank <= 20
+        ),
+        rer AS (
+          SELECT s.probe_id, s.cand_id,
+                 round({dd.sql_cosine('pr2.pv', 'c2.v')}, 9) AS cos_sim
+          FROM short s
+          JOIN e c2 ON c2.vec_id = s.cand_id
+          JOIN (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5) pr2
+            ON pr2.pid = s.probe_id
+        )
+        SELECT probe_id, cand_id, cos_sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM rer
+        ) WHERE rank <= 5
+    """
 
     cents16 = reference_ivf_centroids(16)
     cents64 = reference_ivf_centroids(64)
@@ -2490,7 +2542,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         "osmchange_xml": osmchange_sql,
         "jsonl_roundtrip": jsonl_sql,
         "csv_taxonomy": csv_sql,
-        "latest_release": latest_sql,
+        "ann_pq_topk": ann_pq_sql,
         "probe_lookup": probe_lookup_sql,
         "skip_existing": skip_existing_sql,
         "auto_zoom": auto_zoom_sql,

@@ -353,3 +353,143 @@ def multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "cand_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN with exact re-rank
+# ---------------------------------------------------------------------------
+
+def reference_pq_codebooks():
+    """The repo's pinned PQ codebooks (m=8 subvectors x k*=16
+    codewords x 8 dims): CHECKED-IN trained artifacts
+    (overmatch_spark/artifacts.py, scripts/train_pq_artifact.py for
+    byte-exact regeneration). At 10^12-vector scale raw float32
+    embeddings (256 B/vec) cannot live in memory; PQ codes (32
+    bits/vec here, 64x compression) can — the corpus stores codes,
+    search runs asymmetric-distance (ADC) against a per-probe lookup
+    table, and only a tiny shortlist touches raw vectors for the
+    exact re-rank."""
+    from overmatch_spark.artifacts import PQ_CODEBOOKS
+
+    return PQ_CODEBOOKS
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-subvector nearest-codeword ids (1-based, ties -> lowest,
+    the same first-occurrence rule as ivf_assign / DuckDB
+    list_position). The stored representation of a corpus vector."""
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        dists = F.array(*[_sqdist(sub, c) for c in cb])
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-probe ADC lookup table: lut[j][c] = ||q_j - C_j[c]||^2.
+    Computed ONCE per probe (m x k* doubles), so the candidate join
+    only does m array lookups + a fixed-order sum per pair."""
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[_sqdist(F.slice(vec, j * dsub + 1, dsub), c) for c in cb]
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def pq_adc(codes: Column, lut: Column, m: int) -> Column:
+    """Asymmetric PQ distance: sum_j lut[j][codes[j]] — a fixed-order
+    explicit sum so any engine reproduces the exact double."""
+    terms = [
+        F.element_at(F.element_at(lut, j + 1), F.element_at(codes, j + 1))
+        for j in range(m)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 20,
+) -> DataFrame:
+    """PQ-ADC top-k with exact cosine re-rank: the corpus rides the
+    candidate scan as 4-bit codes ONLY (at rest, `codes` is the
+    stored column and raw vectors live in a separate id-keyed table);
+    each probe broadcasts its m x k* ADC lookup table; the ADC
+    shortlist (deterministic (adc, cand_id) order) then joins raw
+    vectors BY ID for the exact re-rank — the standard
+    memory-bounded retrieval stack at 10^12-vector scale."""
+    m = len(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    coded = c.select("cand_id", pq_encode(F.col("cv"), codebooks).alias("codes"))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    ).withColumn("lut", pq_lut(F.col("pv"), codebooks))
+    scored = (
+        coded.join(F.broadcast(p.select("probe_id", "lut")))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("adc", pq_adc(F.col("codes"), F.col("lut"), m))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= shortlist)
+        .select("probe_id", "cand_id")
+    )
+    rer = (
+        short.join(c, "cand_id")
+        .join(p.select("probe_id", "pv"), "probe_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 9))
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def sql_pq_codes(vec: str, codebooks: list[list[list[float]]]) -> str:
+    """DuckDB twin of pq_encode (1-based list_slice/list_position)."""
+    dsub = len(codebooks[0][0])
+    parts = []
+    for j, cb in enumerate(codebooks):
+        sub = f"list_slice({vec}, {j * dsub + 1}, {(j + 1) * dsub})"
+        dists = "[" + ", ".join(sql_sqdist(sub, c) for c in cb) + "]"
+        parts.append(f"CAST(list_position({dists}, list_min({dists})) AS INTEGER)")
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_pq_lut(vec: str, codebooks: list[list[list[float]]]) -> str:
+    """DuckDB twin of pq_lut."""
+    dsub = len(codebooks[0][0])
+    rows = []
+    for j, cb in enumerate(codebooks):
+        sub = f"list_slice({vec}, {j * dsub + 1}, {(j + 1) * dsub})"
+        rows.append("[" + ", ".join(sql_sqdist(sub, c) for c in cb) + "]")
+    return "[" + ", ".join(rows) + "]"
+
+
+def sql_pq_adc(codes: str, lut: str, m: int) -> str:
+    """DuckDB twin of pq_adc (same fixed-order sum)."""
+    return " + ".join(f"({lut}[{j + 1}])[({codes})[{j + 1}]]" for j in range(m))
