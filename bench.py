@@ -349,16 +349,23 @@ def main():
         }
 
     # ---- PQ-ADC + exact re-rank: the memory-bounded retrieval stack
-    # (corpus rides as 32-bit codes, 64x compression; recall cost of
-    # the compression is the number that matters) ----
+    # (corpus rides as 32-bit codes, 64x compression). The re-rank
+    # shortlist FRACTION is the dial; two points make the curve ----
     from overmatch_spark.operators.ann import pq_topk, reference_pq_codebooks
 
-    pq_recall = recall(
-        pq_topk(
-            e, probes, "embedding", "vec_id", reference_pq_codebooks(),
-            k=5, shortlist=20,
-        )
-    )
+    n_corpus = e.count()
+    pq_curve = {}
+    for frac in (0.05, 0.10):
+        sl = max(20, int(n_corpus * frac))
+        pq_curve[f"rerank_{int(frac * 100)}pct"] = {
+            "recall_at5": recall(
+                pq_topk(
+                    e, probes, "embedding", "vec_id",
+                    reference_pq_codebooks(), k=5, shortlist=sl,
+                )
+            ),
+            "shortlist": sl,
+        }
 
     # ---- ANN on CLUSTERED geometry (VERDICT r3 #4): the driver
     # embeddings are near-isotropic, which provably bounds ANY
@@ -392,6 +399,24 @@ def main():
     clustered_ann = {
         "recall_at5": round(hits_c / n_truth_c, 4),
         "scan_frac": round(1 / 16, 4),
+    }
+    # IVF+PQ composed (FAISS-IVFPQ shape): list pruning AND 64x code
+    # compression at once, exact re-rank on the shortlist
+    from overmatch_spark.operators.ann import ivfpq_topk
+
+    hits_ivfpq = (
+        ivfpq_topk(
+            ecv, probes_c, "embedding", "vec_id", clustered_centers(),
+            reference_pq_codebooks(), k=5, nprobe=1, shortlist=50,
+        )
+        .select("probe_id", "cand_id")
+        .join(truth_c, ["probe_id", "cand_id"], "left_semi")
+        .count()
+    )
+    ivfpq_clustered = {
+        "recall_at5": round(hits_ivfpq / n_truth_c, 4),
+        "scan_frac": round(1 / 16, 4),
+        "compression": "64x (32-bit PQ codes)",
     }
     truth_c.unpersist()
     _note("ann sections done")
@@ -432,12 +457,15 @@ def main():
                 "ann_recall_at5_ivf_nprobe2": recall_ivf,
                 "ann_recall_curve": curve,
                 "ann_dial_recall80": "ivf64 nprobe=32 (recall@5 ~0.88, scans 50% of lists)",
-                "ann_pq_recall_at5": pq_recall,
+                "ann_pq_recall_curve": pq_curve,
                 "ann_pq_note": (
                     "pq_topk: 4-bit/subvector codes (64x compression), "
-                    "ADC shortlist 20/500 + exact cosine re-rank"
+                    "ADC shortlist + exact cosine re-rank; shortlist "
+                    "fraction is the recall dial (isotropic corpus "
+                    "bounds ADC signal like every pruning index here)"
                 ),
                 "ann_clustered_ivf16_np1": clustered_ann,
+                "ann_clustered_ivfpq_np1": ivfpq_clustered,
                 "ann_clustered_note": (
                     "same ivf_topk operator over the deterministic "
                     "clustered view (ann.clustered_view): recall@5 at "

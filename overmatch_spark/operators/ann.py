@@ -493,3 +493,75 @@ def sql_pq_lut(vec: str, codebooks: list[list[list[float]]]) -> str:
 def sql_pq_adc(codes: str, lut: str, m: int) -> str:
     """DuckDB twin of pq_adc (same fixed-order sum)."""
     return " + ".join(f"({lut}[{j + 1}])[({codes})[{j + 1}]]" for j in range(m))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 20,
+) -> DataFrame:
+    """IVF + PQ composed — the standard memory-bounded ANN stack
+    (FAISS IVFPQ shape): the corpus is stored as (inverted-list id,
+    PQ codes) — list id is the partition key at rest (partition
+    pruning), codes are 32 bits/vector — so the candidate scan
+    touches only nprobe lists and never a raw vector; the ADC
+    shortlist re-ranks by exact cosine via the id-keyed join back to
+    raw storage. Both quantizers are pinned offline artifacts."""
+    m = len(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    coded = c.select(
+        "cand_id",
+        ivf_assign(F.col("cv"), centroids).alias("ivf"),
+        pq_encode(F.col("cv"), codebooks).alias("codes"),
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("pv"),
+        )
+        .withColumn("lut", pq_lut(F.col("pv"), codebooks))
+        .withColumn(
+            "ivf", F.explode(ivf_probe_lists(F.col("pv"), centroids, nprobe))
+        )
+    )
+    scored = (
+        coded.join(F.broadcast(p.select("probe_id", "lut", "ivf")), "ivf")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("adc", pq_adc(F.col("codes"), F.col("lut"), m))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= shortlist)
+        .select("probe_id", "cand_id")
+    )
+    rer = (
+        short.join(c, "cand_id")
+        .join(
+            probes.select(
+                F.col(id_col).alias("probe_id"),
+                F.col(vec_col).cast("array<double>").alias("pv"),
+            ),
+            "probe_id",
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 9))
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cos_sim", "rank")
+    )

@@ -535,6 +535,44 @@ class TestIvf:
         assert n_truth == 150
         assert hit / n_truth >= 0.5, f"PQ recall@5 {hit / n_truth:.3f} < 0.5"
 
+    def test_ivfpq_subset_of_pq_candidates_and_clustered_recall(self, spark):
+        """IVF+PQ composition: on the CLUSTERED fixture (where list
+        pruning is sound) the composed stack must keep high recall at
+        nprobe=1 — list pruning AND 64x code compression at once,
+        exact re-rank on a 4% shortlist."""
+        import numpy as np  # noqa: F401
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.ann import (
+            brute_force_topk,
+            clustered_centers,
+            clustered_view,
+            ivfpq_topk,
+            reference_pq_codebooks,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        ec = e.select(
+            "vec_id",
+            clustered_view(
+                F.col("embedding").cast("array<double>"), F.col("vec_id")
+            ).alias("embedding"),
+        )
+        probes = ec.filter(F.col("vec_id") < 30)
+        truth = brute_force_topk(ec, probes, "embedding", "vec_id", k=5).select(
+            "probe_id", "cand_id"
+        )
+        got = ivfpq_topk(
+            ec, probes, "embedding", "vec_id", clustered_centers(),
+            reference_pq_codebooks(), k=5, nprobe=1, shortlist=28,
+        ).select("probe_id", "cand_id")
+        n_truth = truth.count()
+        hit = got.join(truth, ["probe_id", "cand_id"], "left_semi").count()
+        assert n_truth == 150
+        assert hit / n_truth >= 0.8, (
+            f"IVFPQ clustered recall@5 {hit / n_truth:.3f} < 0.8"
+        )
+
 
 class TestWinnowing:
     def test_shared_span_guarantees_shared_fingerprint(self, spark):
