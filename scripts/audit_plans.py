@@ -94,6 +94,21 @@ def main():
     sj_plan = grab_plan(spatial_join(a, b, radius_m=120.0))
     sections.append(("Generic radius join (public API)", sj_plan, None))
 
+    # 8. PQ payload discipline: the ADC candidate join must stream
+    # CODES only — raw vectors (cv) may appear at the scan projection
+    # that derives the codes and in the id-keyed re-rank join, never
+    # as a column OF the ADC join itself
+    from overmatch_spark.operators.ann import pq_topk, reference_pq_codebooks
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pq_plan = grab_plan(
+        pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+            reference_pq_codebooks(), k=5, shortlist=20,
+        )
+    )
+    sections.append(("PQ ADC top-k (codes-only candidate join)", pq_plan, None))
+
     checks = []
 
     def check(name, cond):
@@ -182,6 +197,21 @@ def main():
         and "NestedLoop" not in sj_plan
         and "CartesianProduct" not in sj_plan
         and "EvalPython" not in sj_plan,
+    )
+    # The ADC join is the BNLJ whose consumer computes `adc` (the
+    # broadcast LUT cross join); its Input line must carry codes#,
+    # never a raw cv# vector — raw vectors belong to the scan-side
+    # code derivation and the id-keyed re-rank join only.
+    adc_inputs = [
+        seg[:400]
+        for seg in re.split(r"\(\d+\) BroadcastNestedLoopJoin", pq_plan)[1:]
+    ]
+    check(
+        "pq ADC candidate join streams codes only (no raw vectors)",
+        len(adc_inputs) >= 1
+        and all(
+            "codes#" in seg and "cv#" not in seg for seg in adc_inputs
+        ),
     )
 
     with open("PLANS.md", "w") as f:
