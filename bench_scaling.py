@@ -102,9 +102,19 @@ spark.stop()
 """
 
 
+def _probe() -> dict:
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from window_probe import alu_ops, fsync_mbps
+
+    return {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=32)}
+
+
 def run_level(mode: str, level: int) -> dict:
     env = dict(os.environ, REPO=os.path.dirname(os.path.abspath(__file__)),
                SCALING_EXPLODE=str(EXPLODE))
+    probe_before = _probe()
     out = subprocess.run(
         [sys.executable, "-c", WORKER, mode, str(level)],
         capture_output=True, text=True, env=env, timeout=1200,
@@ -112,7 +122,12 @@ def run_level(mode: str, level: int) -> dict:
     lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
     if not lines:
         raise RuntimeError(out.stderr[-2000:])
-    return json.loads(lines[-1][len("RESULT "):])
+    r = json.loads(lines[-1][len("RESULT "):])
+    # per-level probes: a scaling RATIO is only meaningful when both
+    # levels ran in comparable windows — make that visible in the row
+    r["probe_before"] = probe_before
+    r["probe_after"] = _probe()
+    return r
 
 
 def main():
