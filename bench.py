@@ -52,19 +52,22 @@ def _note(msg: str) -> None:
 _T0 = time.time()
 
 
+_SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+if _SCRIPTS_DIR not in sys.path:
+    sys.path.insert(0, _SCRIPTS_DIR)
+
+
 def probe_window() -> dict:
     """Light host-window probe recorded alongside the numbers: this
     shared box has contended windows (fsync 9->570 MB/s swings, ALU
     ~14 contended vs ~28 clean Mops), and absolute wall times taken in
     a bad window under-measure the engine. The probe makes the window
     quality visible IN the artifact instead of asking the reader to
-    trust the timing conditions."""
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
-    )
-    from window_probe import alu_ops, fsync_mbps
+    trust the timing conditions. One shared definition
+    (window_probe.probe) keeps fields comparable across artifacts."""
+    from window_probe import probe
 
-    return {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=32)}
+    return probe(mb=32)
 
 
 def bench_layers(spark, sf_dir, cpus):
@@ -279,10 +282,20 @@ def main():
     from overmatch_spark.operators.conflate import detect_hot_cells
 
     sk_a, sk_b = skewed_layers(spark, sf_dir, cpus)
+    # same input-materialization policy as every other timed row:
+    # the timed runs scan persisted layer bytes, not the synthetic
+    # derivation + hot remap
+    sk_a, sk_b = sk_a.persist(), sk_b.persist()
+    sk_a.count(), sk_b.count()
     sk_bb = sk_b.withColumn("x", X.merc_x(F.col("lon"))).withColumn(
         "y", X.merc_y(F.col("lat"))
     )
+    # the hot-cell pre-pass is once-per-corpus-version work a real
+    # pipeline amortizes, but its cost is REPORTED (skew_detect_sec)
+    # so the salted path hides nothing the unsalted path skips
+    t0 = time.time()
     hot = detect_hot_cells(sk_bb, res=17, threshold=1000)
+    skew_detect = round(time.time() - t0, 3)
     skew_unsalted = min(
         _timed(lambda: run_noop(conflate(sk_a, sk_b))) for _ in range(2)
     )
@@ -295,6 +308,7 @@ def main():
         )
         for _ in range(2)
     )
+    sk_a.unpersist(), sk_b.unpersist()
 
     # ---- ANN recall@5 vs brute force (multi-probe closes the LSH
     # recall cliff; VERDICT r1 #6) ----
@@ -450,6 +464,7 @@ def main():
                 "scale_probe_before": probe_scale_before,
                 "scale_probe_after": probe_scale_after,
                 "skew_hot_cells": len(hot),
+                "skew_detect_sec": skew_detect,
                 "skew_unsalted_sec": skew_unsalted,
                 "skew_salted_sec": skew_salted,
                 "ann_recall_at5_lsh": recall_lsh,

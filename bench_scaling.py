@@ -106,9 +106,9 @@ def _probe() -> dict:
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
     )
-    from window_probe import alu_ops, fsync_mbps
+    from window_probe import probe
 
-    return {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=32)}
+    return probe(mb=32)
 
 
 def run_level(mode: str, level: int) -> dict:

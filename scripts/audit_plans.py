@@ -154,37 +154,21 @@ def main():
         len(re.findall(r"InMemoryTableScan", knn_plan)) >= 3,
     )
     # TWO broadcast nested-loop shapes are allowed, both provably
-    # bounded: the histogram prune (tiny bbox table broadcast,
-    # identified by xlo in the consumer's Input line) and the ladder
-    # build prune (needed-levels x b0, broadcast side <= n_ladder
-    # levels rows, zero output in the common all-fine case —
-    # identified by lvl + overture_id). The formatted plan reprints a
-    # cached relation's stored plan at each scan site, so occurrences
-    # are counted by SHAPE, not number; nothing may fall back to a
-    # cartesian. (The BNLJ detail block prints only join type; its
-    # output columns appear as the immediate consumer's Input line,
-    # within the next few hundred chars.)
-    bnlj_types = re.findall(
-        r"BroadcastNestedLoopJoin ([A-Za-z ]+)\(\d+\)", knn_plan
-    )
-    bnlj_blocks = re.split(
-        r"\(\d+\) BroadcastNestedLoopJoin", knn_plan
-    )[1:]
-
-    def _bounded_bnlj(blk):
-        head = blk[:800]
-        hist = "xlo" in head
-        ladder = "lvl" in head and "overture_id" in head
-        return hist or ladder
-
+    # bounded: the histogram prune (tiny bbox table broadcast, MUST
+    # be Cross BuildRight, identified by xlo in the consumer's Input
+    # line) and the ladder build prune (needed-levels x b0, MUST be
+    # Cross BuildLeft, identified by lvl + overture_id). Validation
+    # is PER SHAPE — each BNLJ node id pairs its tree-line join type
+    # with its own detail block (_knn_bnlj_shapes_ok), so a shape
+    # regressing to broadcasting the unbounded side fails even if the
+    # other shape's type still appears somewhere in the plan. The
+    # formatted plan reprints a cached relation's stored plan at each
+    # scan site, so occurrences are counted by shape, not number;
+    # nothing may fall back to a cartesian.
     check(
         "knn nested-loop joins are ONLY the bounded broadcast prunes "
-        "(histogram bbox / needed-levels ladder)",
-        len(bnlj_types) >= 1
-        and all(t.strip() in ("Cross BuildRight", "Cross BuildLeft")
-                for t in bnlj_types)
-        and len(bnlj_blocks) >= 1
-        and all(_bounded_bnlj(blk) for blk in bnlj_blocks)
+        "(per-shape: histogram bbox=BuildRight, ladder=BuildLeft)",
+        _knn_bnlj_shapes_ok(knn_plan)
         and "CartesianProduct" not in knn_plan,
     )
     check(
@@ -213,6 +197,45 @@ def main():
             "codes#" in seg and "cv#" not in seg for seg in adc_inputs
         ),
     )
+
+
+def _knn_bnlj_shapes_ok(knn_plan: str) -> bool:
+    """Per-shape BNLJ validation (review fix: a global type check plus
+    marker-anywhere matching let a regressed shape pass). Pair each
+    BNLJ node id from the TREE (which prints the join type) with its
+    DETAIL block (whose consumer Input line carries the output
+    columns), then require the type matches the identified shape:
+      - histogram bbox prune (xlo in consumer input) MUST be
+        Cross BuildRight (tiny bbox table broadcast);
+      - ladder prune (lvl + overture_id) MUST be Cross BuildLeft
+        (tiny needed-levels table broadcast);
+    every BNLJ must classify as exactly one of the two."""
+    tree = {
+        nid: t.strip()
+        for t, nid in re.findall(
+            r"BroadcastNestedLoopJoin ([A-Za-z ]+)\((\d+)\)", knn_plan
+        )
+    }
+    if not tree:
+        return False
+    details = re.split(r"\((\d+)\) BroadcastNestedLoopJoin", knn_plan)[1:]
+    pairs = list(zip(details[0::2], details[1::2]))  # (node id, block)
+    if not pairs:
+        return False
+    for nid, block in pairs:
+        head = block[:800]
+        hist = "xlo" in head
+        ladder = "lvl" in head and "overture_id" in head and not hist
+        jt = tree.get(nid, "")
+        if hist:
+            if jt != "Cross BuildRight":
+                return False
+        elif ladder:
+            if jt != "Cross BuildLeft":
+                return False
+        else:
+            return False
+    return True
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit\n\n")

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from window_probe import alu_ops, fsync_mbps
+from window_probe import probe
 
 
 def main():
@@ -32,7 +32,7 @@ def main():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    probe_before = {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=32)}
+    probe_before = probe(mb=32)
 
     spark = get_spark(
         "overmatch-scale32",
@@ -72,7 +72,7 @@ def main():
         runs.append(round(time.time() - t0, 2))
         print(f"run{i}: {runs[-1]}s", file=sys.stderr, flush=True)
     spark.stop()
-    probe_after = {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=32)}
+    probe_after = probe(mb=32)
 
     best = min(runs)
     result = {

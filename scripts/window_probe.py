@@ -70,6 +70,13 @@ def stream_eff(n_lo: int = 2, n_hi: int = 8) -> float:
     return round(lo / hi, 3)
 
 
+def probe(mb: int = 32) -> dict:
+    """The light alu+fsync probe every bench artifact embeds — ONE
+    definition so probe_before/probe_after fields stay comparable
+    across bench.py, bench_scaling.py and bench_scale32.py rows."""
+    return {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=mb)}
+
+
 if __name__ == "__main__":
     out = {
         "tmp_fsync_mbps": fsync_mbps(),

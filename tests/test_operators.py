@@ -38,18 +38,28 @@ class TestKnn:
         from overmatch_spark.operators.conflate import conflate
         from overmatch_spark.operators.knn import knn_fallback
 
+        from overmatch_spark.operators.knn import release_caches
+
         sa, sb = _spark_layers(spark, layers)
         m = conflate(sa, sb)
         exp = knn_spec(*layers, golden)
         # res0=15 additionally exercises the ODD-res0 ladder
-        # (enumerable floor 1) end-to-end — output must be invariant
+        # (enumerable floor 1) end-to-end — output must be invariant.
+        # Caller-owned caches released per iteration (knn.py contract
+        # for repeated invocation in one session).
         for res0 in (16, 15):
-            got = (
-                knn_fallback(sa, sb, m, res0=res0, coarse_res=12)
-                .toPandas()
-                .sort_values("osm_id")
-                .reset_index(drop=True)
-            )
+            caches: list = []
+            try:
+                got = (
+                    knn_fallback(
+                        sa, sb, m, res0=res0, coarse_res=12, caches=caches
+                    )
+                    .toPandas()
+                    .sort_values("osm_id")
+                    .reset_index(drop=True)
+                )
+            finally:
+                release_caches(caches)
             assert len(got) == len(exp) > 0
             pd.testing.assert_frame_equal(
                 got[["osm_id", "overture_id", "distance_m"]],
