@@ -51,6 +51,19 @@ def _note(msg: str) -> None:
 
 _T0 = time.time()
 
+# Soft wall budget: in a clean window the full bench finishes in
+# ~5-6 min, but this box's contended windows inflate single runs 3-5x
+# (measured: one unsalted-skew run 11.5s clean -> 62.8s contended),
+# which can push the total past the driver's wall limit and lose the
+# ENTIRE artifact. Past the soft budget, repeat runs and secondary
+# recall points are dropped (each drop is marked in the JSON) so the
+# primary numbers always land.
+SOFT_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "400"))
+
+
+def over_budget() -> bool:
+    return time.time() - _T0 > SOFT_BUDGET_S
+
 
 _SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
 if _SCRIPTS_DIR not in sys.path:
@@ -251,16 +264,22 @@ def main():
         bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m).persist()
         am.count(), bm.count()
         runs = []
-        for _ in range(runs_n):
+        for i in range(runs_n):
             t0 = time.time()
             run_noop(conflate(am, bm))
             runs.append(round(time.time() - t0, 3))
             _note(f"scale {mult}x run: {runs[-1]}s")
+            if over_budget():
+                break  # keep what we have; drop marked via runs list
         am.unpersist(), bm.unpersist()
         return runs
 
     probe_scale_before = probe_window()
-    runs8 = scale_row(8, 2)
+    # 3 attempts: this host's contention bursts swing a single 8x run
+    # 6s <-> 130s within a minute (measured); min-of-3 materially
+    # improves the odds one run lands clean, and the over_budget
+    # break keeps bad windows from eating the wall budget
+    runs8 = scale_row(8, 3)
     n8, t8 = n_features * 8, min(runs8)
     probe_scale_after = probe_window()
     # the 19.2M-feature (32x) min-of-3 probe-gated record lives in
@@ -296,8 +315,10 @@ def main():
     t0 = time.time()
     hot = detect_hot_cells(sk_bb, res=17, threshold=1000)
     skew_detect = round(time.time() - t0, 3)
+    skew_runs_n = 1 if over_budget() else 2
     skew_unsalted = min(
-        _timed(lambda: run_noop(conflate(sk_a, sk_b))) for _ in range(2)
+        _timed(lambda: run_noop(conflate(sk_a, sk_b)))
+        for _ in range(skew_runs_n)
     )
     _note(f"skew unsalted: {skew_unsalted}s")
     skew_salted = min(
@@ -306,7 +327,7 @@ def main():
                 conflate(sk_a, sk_b, hot_cells=hot, salt_factor=16)
             )
         )
-        for _ in range(2)
+        for _ in range(skew_runs_n)
     )
     sk_a.unpersist(), sk_b.unpersist()
 
@@ -349,11 +370,17 @@ def main():
     # documented >=0.8 dial is the k=64 quantizer at nprobe=32
     c64 = reference_ivf_centroids(64)
     curve = {}
-    for tag, cents, npb in (
+    # primary point first (the documented >=0.8 dial), then the
+    # secondary curve points — dropped past the soft budget
+    points = [
+        ("ivf64_np32", c64, 32),
         ("ivf16_np4", None, 4), ("ivf16_np8", None, 8),
         ("ivf64_np16", c64, 16), ("ivf64_np24", c64, 24),
-        ("ivf64_np32", c64, 32),
-    ):
+    ]
+    for tag, cents, npb in points:
+        if curve and over_budget():
+            curve["truncated_bad_window"] = True
+            break
         cc = cents if cents is not None else reference_ivf_centroids()
         curve[tag] = {
             "recall_at5": recall(
@@ -369,7 +396,8 @@ def main():
 
     n_corpus = e.count()
     pq_curve = {}
-    for frac in (0.05, 0.10):
+    fracs = (0.10,) if over_budget() else (0.05, 0.10)
+    for frac in fracs:
         sl = max(20, int(n_corpus * frac))
         pq_curve[f"rerank_{int(frac * 100)}pct"] = {
             "recall_at5": recall(
@@ -418,20 +446,23 @@ def main():
     # compression at once, exact re-rank on the shortlist
     from overmatch_spark.operators.ann import ivfpq_topk
 
-    hits_ivfpq = (
-        ivfpq_topk(
-            ecv, probes_c, "embedding", "vec_id", clustered_centers(),
-            reference_pq_codebooks(), k=5, nprobe=1, shortlist=50,
+    if over_budget():
+        ivfpq_clustered = {"skipped_bad_window": True}
+    else:
+        hits_ivfpq = (
+            ivfpq_topk(
+                ecv, probes_c, "embedding", "vec_id", clustered_centers(),
+                reference_pq_codebooks(), k=5, nprobe=1, shortlist=50,
+            )
+            .select("probe_id", "cand_id")
+            .join(truth_c, ["probe_id", "cand_id"], "left_semi")
+            .count()
         )
-        .select("probe_id", "cand_id")
-        .join(truth_c, ["probe_id", "cand_id"], "left_semi")
-        .count()
-    )
-    ivfpq_clustered = {
-        "recall_at5": round(hits_ivfpq / n_truth_c, 4),
-        "scan_frac": round(1 / 16, 4),
-        "compression": "64x (32-bit PQ codes)",
-    }
+        ivfpq_clustered = {
+            "recall_at5": round(hits_ivfpq / n_truth_c, 4),
+            "scan_frac": round(1 / 16, 4),
+            "compression": "64x (32-bit PQ codes)",
+        }
     truth_c.unpersist()
     _note("ann sections done")
     print(
@@ -461,6 +492,8 @@ def main():
                 "conflate_8x_sec": t8,
                 "conflate_8x_runs": runs8,
                 "conflate_8x_features_per_sec": round(n8 / t8, 1),
+                "soft_budget_s": SOFT_BUDGET_S,
+                "elapsed_s": round(time.time() - _T0, 1),
                 "scale_probe_before": probe_scale_before,
                 "scale_probe_after": probe_scale_after,
                 "skew_hot_cells": len(hot),
