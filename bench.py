@@ -229,15 +229,23 @@ def main():
     # cold both runs: the persisted shingle/token-hash base is
     # OPERATOR work (r3 advisory), so it is released between runs
     mh_runs = []
-    for _ in range(2):
+    for i in range(2):
         mh_caches: list = []
         t0 = time.time()
         run_noop(minhash_lsh_pairs(docs_dup, "text", "doc_id", caches=mh_caches))
         mh_runs.append(round(time.time() - t0, 3))
-        for df in mh_caches:
-            df.unpersist()
+        if i == 0:
+            for df in mh_caches:
+                df.unpersist()
     times["minhash_dedup"] = min(mh_runs)
-    _note(f"minhash cold runs: {mh_runs}")
+    # warm twin (same policy as knn_warm): repeat against run 2's
+    # cached shingle/token-hash base
+    t0 = time.time()
+    run_noop(minhash_lsh_pairs(docs_dup, "text", "doc_id", caches=mh_caches))
+    minhash_warm = round(time.time() - t0, 3)
+    for df in mh_caches:
+        df.unpersist()
+    _note(f"minhash cold runs: {mh_runs}, warm: {minhash_warm}")
 
     total = round(sum(times.values()), 3)
 
@@ -488,6 +496,8 @@ def main():
                 ),
                 "knn_cold_runs": knn_cold_runs,
                 "knn_warm": knn_warm,
+                "minhash_cold_runs": mh_runs,
+                "minhash_warm": minhash_warm,
                 "conflate_8x_features": n8,
                 "conflate_8x_sec": t8,
                 "conflate_8x_runs": runs8,
