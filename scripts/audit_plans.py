@@ -23,6 +23,45 @@ def grab_plan(df) -> str:
     return buf.getvalue()
 
 
+def _knn_bnlj_shapes_ok(knn_plan: str) -> bool:
+    """Per-shape BNLJ validation (review fix: a global type check plus
+    marker-anywhere matching let a regressed shape pass). Pair each
+    BNLJ node id from the TREE (which prints the join type) with its
+    DETAIL block (whose consumer Input line carries the output
+    columns), then require the type matches the identified shape:
+      - histogram bbox prune (xlo in consumer input) MUST be
+        Cross BuildRight (tiny bbox table broadcast);
+      - ladder prune (lvl + overture_id) MUST be Cross BuildLeft
+        (tiny needed-levels table broadcast);
+    every BNLJ must classify as exactly one of the two."""
+    tree = {
+        nid: t.strip()
+        for t, nid in re.findall(
+            r"BroadcastNestedLoopJoin ([A-Za-z ]+)\((\d+)\)", knn_plan
+        )
+    }
+    if not tree:
+        return False
+    details = re.split(r"\((\d+)\) BroadcastNestedLoopJoin", knn_plan)[1:]
+    pairs = list(zip(details[0::2], details[1::2]))  # (node id, block)
+    if not pairs:
+        return False
+    for nid, block in pairs:
+        head = block[:800]
+        hist = "xlo" in head
+        ladder = "lvl" in head and "overture_id" in head and not hist
+        jt = tree.get(nid, "")
+        if hist:
+            if jt != "Cross BuildRight":
+                return False
+        elif ladder:
+            if jt != "Cross BuildLeft":
+                return False
+        else:
+            return False
+    return True
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -197,45 +236,6 @@ def main():
             "codes#" in seg and "cv#" not in seg for seg in adc_inputs
         ),
     )
-
-
-def _knn_bnlj_shapes_ok(knn_plan: str) -> bool:
-    """Per-shape BNLJ validation (review fix: a global type check plus
-    marker-anywhere matching let a regressed shape pass). Pair each
-    BNLJ node id from the TREE (which prints the join type) with its
-    DETAIL block (whose consumer Input line carries the output
-    columns), then require the type matches the identified shape:
-      - histogram bbox prune (xlo in consumer input) MUST be
-        Cross BuildRight (tiny bbox table broadcast);
-      - ladder prune (lvl + overture_id) MUST be Cross BuildLeft
-        (tiny needed-levels table broadcast);
-    every BNLJ must classify as exactly one of the two."""
-    tree = {
-        nid: t.strip()
-        for t, nid in re.findall(
-            r"BroadcastNestedLoopJoin ([A-Za-z ]+)\((\d+)\)", knn_plan
-        )
-    }
-    if not tree:
-        return False
-    details = re.split(r"\((\d+)\) BroadcastNestedLoopJoin", knn_plan)[1:]
-    pairs = list(zip(details[0::2], details[1::2]))  # (node id, block)
-    if not pairs:
-        return False
-    for nid, block in pairs:
-        head = block[:800]
-        hist = "xlo" in head
-        ladder = "lvl" in head and "overture_id" in head and not hist
-        jt = tree.get(nid, "")
-        if hist:
-            if jt != "Cross BuildRight":
-                return False
-        elif ladder:
-            if jt != "Cross BuildLeft":
-                return False
-        else:
-            return False
-    return True
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit\n\n")
