@@ -783,21 +783,49 @@ def q_csv_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (NEW r4): corpus rides the candidate
-    scan as 4-bit-per-subvector codes only (pinned PQ_CODEBOOKS
-    artifact, 64x compression — at 10^12 vectors raw floats cannot
-    live in memory), probes broadcast their ADC lookup tables, the
-    deterministic ADC shortlist re-ranks by exact cosine via an
-    id-keyed join back to the raw vectors."""
+    """Product-quantization ANN (r4) — TWO oracle-checked variants:
+
+      - pq_flat: corpus rides the candidate scan as 4-bit-per-
+        subvector codes only (pinned PQ_CODEBOOKS artifact, 64x
+        compression — at 10^12 vectors raw floats cannot live in
+        memory), probes broadcast their ADC lookup tables, the
+        deterministic ADC shortlist re-ranks by exact cosine via an
+        id-keyed join back to the raw vectors.
+      - ivfpq_clustered_np1 (r5, the r4-verdict ask): the COMPOSED
+        IVF+PQ stack (FAISS-IVFPQ shape — list pruning AND code
+        compression at once, the production 10^12-vector retrieval
+        shape) over the deterministic clustered view with its
+        analytic centers, nprobe=1."""
     from overmatch_spark import demo
-    from overmatch_spark.operators.ann import pq_topk, reference_pq_codebooks
+    from overmatch_spark.operators.ann import (
+        clustered_centers,
+        clustered_view,
+        ivfpq_topk,
+        pq_topk,
+        reference_pq_codebooks,
+    )
 
     e = demo.load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return pq_topk(
+    flat = pq_topk(
         e, probes, "embedding", "vec_id", reference_pq_codebooks(),
         k=5, shortlist=20,
+    ).withColumn("variant", F.lit("pq_flat"))
+    # half corpus (same budget trick as the ivf64_np8 variant): the
+    # per-row code/LUT expressions are wide, and the oracle suite has
+    # a wall window to respect
+    ec = e.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        clustered_view(
+            F.col("embedding").cast("array<double>"), F.col("vec_id")
+        ).alias("embedding"),
     )
+    probes_c = ec.filter(F.col("vec_id") < 5)
+    comp = ivfpq_topk(
+        ec, probes_c, "embedding", "vec_id", clustered_centers(),
+        reference_pq_codebooks(), k=5, nprobe=1, shortlist=20,
+    ).withColumn("variant", F.lit("ivfpq_clustered_np1"))
+    return flat.unionByName(comp)
 
 
 def q_probe_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2371,12 +2399,59 @@ def _oracle_sql_round2() -> dict[str, str]:
           JOIN e c2 ON c2.vec_id = s.cand_id
           JOIN (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 5) pr2
             ON pr2.pid = s.probe_id
+        ),
+        ecq AS (
+          SELECT vec_id, {sql_clustered_view('v', 'vec_id')} AS v FROM e
+          WHERE vec_id % 2 = 0
+        ),
+        qcoded AS (
+          SELECT vec_id AS cand_id,
+                 {sql_ivf_assign('v', clustered_centers())} AS ivf,
+                 {sql_pq_codes('v', pq_cb)} AS codes
+          FROM ecq
+        ),
+        qpr AS (
+          SELECT vec_id AS probe_id, v AS pv,
+                 {sql_pq_lut('v', pq_cb)} AS lut,
+                 unnest({sql_ivf_probe_list('v', clustered_centers(), 1)}) AS ivf
+          FROM ecq WHERE vec_id < 5
+        ),
+        qscored AS (
+          SELECT qpr.probe_id, qcoded.cand_id,
+                 {sql_pq_adc('codes', 'lut', len(pq_cb))} AS adc
+          FROM qcoded JOIN qpr ON qcoded.ivf = qpr.ivf
+          WHERE qcoded.cand_id != qpr.probe_id
+        ),
+        qshort AS (
+          SELECT probe_id, cand_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY probe_id ORDER BY adc, cand_id
+            ) AS srank FROM qscored
+          ) WHERE srank <= 20
+        ),
+        qrer AS (
+          SELECT s.probe_id, s.cand_id,
+                 round({dd.sql_cosine('pr2.pv', 'c2.v')}, 9) AS cos_sim
+          FROM qshort s
+          JOIN ecq c2 ON c2.vec_id = s.cand_id
+          JOIN (SELECT vec_id AS pid, v AS pv FROM ecq WHERE vec_id < 5) pr2
+            ON pr2.pid = s.probe_id
         )
-        SELECT probe_id, cand_id, cos_sim, rank FROM (
+        SELECT probe_id, cand_id, cos_sim, rank, 'pq_flat' AS variant
+        FROM (
           SELECT *, CAST(row_number() OVER (
                    PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
                  ) AS BIGINT) AS rank
           FROM rer
+        ) WHERE rank <= 5
+        UNION ALL
+        SELECT probe_id, cand_id, cos_sim, rank,
+               'ivfpq_clustered_np1' AS variant
+        FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id
+                 ) AS BIGINT) AS rank
+          FROM qrer
         ) WHERE rank <= 5
     """
 

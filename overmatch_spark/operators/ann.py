@@ -430,7 +430,16 @@ def pq_topk(
     each probe broadcasts its m x k* ADC lookup table; the ADC
     shortlist (deterministic (adc, cand_id) order) then joins raw
     vectors BY ID for the exact re-rank — the standard
-    memory-bounded retrieval stack at 10^12-vector scale."""
+    memory-bounded retrieval stack at 10^12-vector scale.
+
+    PROBE-BATCH BOUND (inherent to flat PQ, not a defect): every
+    probe broadcasts one ~1 KB LUT and the ADC scan touches ALL
+    corpus codes once per probe batch — cost is
+    O(|probes| x |corpus|) code lookups and the broadcast is
+    O(|probes| KB). Fine for bounded probe batches (ad-hoc queries,
+    re-rank tails, <= ~10k probes); LARGE probe sets belong on
+    ivfpq_topk, whose inverted-list pruning bounds the scan to
+    nprobe/k_lists of the codes per probe."""
     m = len(codebooks)
     c = corpus.select(
         F.col(id_col).alias("cand_id"),

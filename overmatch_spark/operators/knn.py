@@ -266,16 +266,27 @@ def knn_fallback(
     )
     reg.append(probes)
     # ONE cached build table (scanned/derived once, reused by phase 1,
-    # the coarse histogram, and the ladder join)
-    b0 = layer_b.select(
-        F.col("id").alias("overture_id"),
-        X.merc_x(F.col("lon")).alias("bx"),
-        X.merc_y(F.col("lat")).alias("by"),
-    ).persist()
-    reg.append(b0)
+    # the coarse histogram, and the ladder join), hash-partitioned on
+    # the res0 `cell` key at cache time: phase 1 AND the phase-2 fine
+    # path both equi-join on `cell`, so pre-partitioning the cache
+    # removes the build-side Exchange from BOTH joins — the exchange
+    # is paid once at materialization instead of once per join (the
+    # fine-path join re-deriving this same projection/key was measured
+    # as the largest slice of the cold `final` stage floor)
+    b = (
+        layer_b.select(
+            F.col("id").alias("overture_id"),
+            X.merc_x(F.col("lon")).alias("bx"),
+            X.merc_y(F.col("lat")).alias("by"),
+        )
+        .withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0))
+        .repartition("cell")
+        .persist()
+    )
+    reg.append(b)
+    b0 = b  # histogram / ladder consumers ignore the cell column
     coarse_res = _choose_coarse_res(b0, coarse_res, max_hist_cells)
     edge_c = X.cell_edge_m(coarse_res)
-    b = b0.withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0))
 
     # ---- phase 1: dynamic exact cover at radius edge/2 ----
     r1 = X.cell_edge_m(res0) / 2.0
