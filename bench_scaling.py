@@ -32,6 +32,8 @@ EXPLODE = int(os.environ.get("SCALING_EXPLODE", "8"))  # 8 -> 4.8M features
 WORKER = r"""
 import json, os, sys, time, zipfile
 sys.path.insert(0, os.environ["REPO"])
+sys.path.insert(0, os.path.join(os.environ["REPO"], "scripts"))
+from window_probe import alu_ops
 from pyspark.sql import SparkSession, functions as F
 
 mode, level = sys.argv[1], int(sys.argv[2])
@@ -89,14 +91,25 @@ warm = (spark.range(0, 20000 * cpus, 1, 2 * cpus)
 warm.write.format("noop").mode("overwrite").save()
 conflate(a, b).write.format("noop").mode("overwrite").save()  # warm run
 n = a.count()
-runs = []
-for _ in range(3):
+# per-run ALU brackets (same discipline as bench.py's scale rows): a
+# run counts as CLEAN only when the probes immediately before and
+# after it are both in the clean band — contention bursts on this box
+# are shorter than a 3-run side, so one end-of-side probe misgates
+# runs that individually executed clean
+runs_n = int(os.environ.get("SCALING_RUNS", "3"))
+runs, alus = [], [round(alu_ops(), 2)]
+for _ in range(runs_n):
     t0 = time.time()
     conflate(a, b).write.format("noop").mode("overwrite").save()
     runs.append(round(time.time() - t0, 2))
+    alus.append(round(alu_ops(), 2))
 best = min(runs)
+clean_runs = [runs[i] for i in range(len(runs))
+              if alus[i] > 24 and alus[i + 1] > 24]
 print("RESULT " + json.dumps({"level": level, "cores": cpus, "features": n,
-                              "runs": runs, "sec": best,
+                              "runs": runs, "alu_probes": alus,
+                              "clean_runs": clean_runs, "sec": best,
+                              "clean_sec": min(clean_runs) if clean_runs else None,
                               "throughput": round(n / best, 1)}))
 spark.stop()
 """
@@ -111,9 +124,9 @@ def _probe() -> dict:
     return probe(mb=32)
 
 
-def run_level(mode: str, level: int) -> dict:
+def run_level(mode: str, level: int, runs_n: int = 3) -> dict:
     env = dict(os.environ, REPO=os.path.dirname(os.path.abspath(__file__)),
-               SCALING_EXPLODE=str(EXPLODE))
+               SCALING_EXPLODE=str(EXPLODE), SCALING_RUNS=str(runs_n))
     probe_before = _probe()
     out = subprocess.run(
         [sys.executable, "-c", WORKER, mode, str(level)],
@@ -138,23 +151,42 @@ def _clean(p: dict) -> bool:
 
 
 def run_pair(mode: str, levels: tuple[int, int]):
-    """One back-to-back N/4N attempt inside one verified window.
-    Returns (result_or_None, row) — the row always carries every
-    per-level probe, aborted or not, so contended attempts are kept
-    as annotated evidence rather than gated away silently."""
-    lo = run_level(mode, levels[0])
+    """One back-to-back N/4N attempt. Returns (result_or_None, row) —
+    the row always carries every probe, clean or not, so contended
+    attempts are kept as annotated evidence rather than gated away.
+
+    Gate: per-RUN ALU brackets inside each level (contention bursts on
+    this box are shorter than a 3-run side, so a single end-of-side
+    probe misgated attempts whose individual runs executed clean — r5
+    measured three such aborts whose N-side best walls, 46.9-48.3 s,
+    all sat at or below the r3 clean record). The pair counts as the
+    official ratio only when BOTH sides have at least one
+    clean-bracketed run; efficiency is computed from the best clean
+    run on each side."""
+    # N side gets one extra run: its ~50 s runs are the hard ones to
+    # land inside a clean bracket (the 4N runs are ~14 s)
+    lo = run_level(mode, levels[0], runs_n=4)
     row = {"mode": mode, "N": lo}
-    if not (_clean(lo["probe_before"]) and _clean(lo["probe_after"])):
-        row["aborted"] = "window degraded during/after the N side"
-        return None, row
-    hi = run_level(mode, levels[1])
+    hi = run_level(mode, levels[1], runs_n=3)
     row["4N"] = hi
-    eff = (hi["throughput"] / lo["throughput"]) / 4.0
-    row["scaling_efficiency"] = round(eff, 3)
-    if not (_clean(hi["probe_before"]) and _clean(hi["probe_after"])):
-        row["aborted"] = "window degraded during/after the 4N side"
-        return None, row
-    return row, row
+    row["scaling_efficiency_raw"] = round(
+        (hi["throughput"] / lo["throughput"]) / 4.0, 3
+    )
+    if lo["clean_sec"] and hi["clean_sec"]:
+        thr_lo = lo["features"] / lo["clean_sec"]
+        thr_hi = hi["features"] / hi["clean_sec"]
+        row["scaling_efficiency"] = round((thr_hi / thr_lo) / 4.0, 3)
+        row["clean_pair"] = True
+        return row, row
+    missing = []
+    if not lo["clean_sec"]:
+        missing.append("N")
+    if not hi["clean_sec"]:
+        missing.append("4N")
+    row["aborted"] = (
+        "no clean-bracketed run on side(s): " + ",".join(missing)
+    )
+    return None, row
 
 
 def retry_loop(mode: str, levels: tuple[int, int], max_minutes: float):
@@ -222,27 +254,35 @@ def main():
         lo = run_level(mode, levels[0])
         hi = run_level(mode, levels[1])
         eff = (hi["throughput"] / lo["throughput"]) / 4.0
-    result = {"mode": mode, "N": lo, "4N": hi,
-              "scaling_efficiency": round(eff, 3)}
+        result = {"mode": mode, "N": lo, "4N": hi,
+                  "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
 
     what = ("local-cluster executors (separate JVMs, package shipped via "
             "addPyFile/--py-files)" if mode == "cluster"
             else "local[] cores (single JVM)")
+    # prefer the clean-bracketed run on each side when one exists
+    lo_sec = lo.get("clean_sec") or lo["sec"]
+    hi_sec = hi.get("clean_sec") or hi["sec"]
+    lo_thr = round(lo["features"] / lo_sec, 1)
+    hi_thr = round(hi["features"] / hi_sec, 1)
+    gate = ("per-run ALU brackets clean on both sides"
+            if result.get("clean_pair") else "NOT probe-clean (annotated)")
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(f"""
 ## Scaling evidence — {what}
 
 Same conflation job (J1-J5 over {lo["features"]:,} lineitem-derived
-features), same input, N vs 4N parallelism. Warm worker pool, best of
-2 measured runs after a warm run. autoBroadcastJoinThreshold=-1 (see
-module docstring of bench_scaling.py for why).
+features), same input, N vs 4N parallelism. Warm worker pool, best
+clean-bracketed run per side (per-run ALU probes; see
+BENCH/PROTOCOL.md §3). autoBroadcastJoinThreshold=-1 (see module
+docstring of bench_scaling.py for why). Window gate: {gate}.
 
 | level | cores | wall (s) | throughput (features/s) |
 |---|---|---|---|
-| N  | {lo["cores"]} | {lo["sec"]} | {lo["throughput"]:,} |
-| 4N | {hi["cores"]} | {hi["sec"]} | {hi["throughput"]:,} |
+| N  | {lo["cores"]} | {lo_sec} | {lo_thr:,} |
+| 4N | {hi["cores"]} | {hi_sec} | {hi_thr:,} |
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8).
 
