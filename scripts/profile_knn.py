@@ -50,19 +50,23 @@ def main():
     m = conflate(a, b).persist()
     print("matches:", m.count(), flush=True)
 
+    # match the bench call site's dial by default (res0=15)
+    kw = {"res0": int(os.environ.get("KNN_RES0", "15"))}
+    print("res0:", kw["res0"], flush=True)
+
     for i in range(3):
         caches = []
         t0 = time.time()
-        out = knn_fallback(a, b, m, caches=caches)
+        out = knn_fallback(a, b, m, caches=caches, **kw)
         run_noop(out)
         print(f"knn full run{i}: {time.time()-t0:.2f}s", flush=True)
         knn_mod.release_caches(caches)
 
     # warm: second execution against a populated cache set
     caches = []
-    run_noop(knn_fallback(a, b, m, caches=caches))
+    run_noop(knn_fallback(a, b, m, caches=caches, **kw))
     t0 = time.time()
-    run_noop(knn_fallback(a, b, m, caches=caches))
+    run_noop(knn_fallback(a, b, m, caches=caches, **kw))
     print(f"knn warm rerun: {time.time()-t0:.2f}s", flush=True)
     knn_mod.release_caches(caches)
 
@@ -70,7 +74,7 @@ def main():
     # in dependency order inside ONE cold run, so each delta isolates
     # a stage (the final noop then pays only the ladder join + union)
     caches = []
-    out = knn_fallback(a, b, m, caches=caches)
+    out = knn_fallback(a, b, m, caches=caches, **kw)
     # caches order: probes, b0, best1, pl, ubs (see knn_fallback)
     names = ["probes", "b0", "best1", "pl", "ubs"]
     t_all0 = time.time()
@@ -85,7 +89,7 @@ def main():
     knn_mod.release_caches(caches)
 
     caches = []
-    n = knn_fallback(a, b, m, caches=caches).count()
+    n = knn_fallback(a, b, m, caches=caches, **kw).count()
     print("knn rows:", n, flush=True)
     knn_mod.release_caches(caches)
     spark.stop()
