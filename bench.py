@@ -196,16 +196,33 @@ def main():
     # measured ~15% faster cold (output invariant to res0, golden- and
     # property-tested, incl. the odd-res0 ladder floor)
     knn_kwargs = {"res0": 15}
+    # up to 3 cold runs, same per-run ALU-bracket discipline as the
+    # scale rows: run 1 pays one-time JIT/codegen (measured 17 s vs
+    # 11.3 s run 2 in one window) so at least 2 runs always execute;
+    # a post-JIT run bracketed by clean probes ends the loop, a third
+    # run only fires when run 2's window was dirty and budget allows
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from window_probe import alu_ops
+
     knn_cold_runs = []
-    for i in range(2):
+    knn_alus = [round(alu_ops(), 2)]
+    for i in range(3):
         caches: list = []
         t0 = time.time()
         run_noop(knn_fallback(a, b, m, caches=caches, **knn_kwargs))
         knn_cold_runs.append(round(time.time() - t0, 3))
-        if i == 0:
-            knn_mod.release_caches(caches)  # next run is cold too
+        knn_alus.append(round(alu_ops(), 2))
+        if i == 2:
+            break  # caches stay for the warm twin
+        if i >= 1 and (
+            (knn_alus[-2] > 24 and knn_alus[-1] > 24) or over_budget()
+        ):
+            break
+        knn_mod.release_caches(caches)  # next run is cold too
     times["knn"] = min(knn_cold_runs)
-    _note(f"knn cold runs: {knn_cold_runs}")
+    _note(f"knn cold runs: {knn_cold_runs} (alu {knn_alus})")
     t0 = time.time()
     # reuses run 2's caches: steady-state repeat execution
     run_noop(knn_fallback(a, b, m, caches=caches, **knn_kwargs))
@@ -542,6 +559,7 @@ def main():
             "repeat execution against a populated cache set"
         ),
         "knn_cold_runs": knn_cold_runs,
+        "knn_alu_probes": knn_alus,
         "knn_res0": knn_kwargs["res0"],
         "minhash_cold_runs": mh_runs,
         "conflate_8x_runs": runs8,
@@ -631,6 +649,7 @@ def main():
                     n_features / times["conflate"], 1
                 ),
                 "knn_cold_runs": knn_cold_runs,
+                "knn_alu_probes": knn_alus,
                 "knn_warm": knn_warm,
                 "minhash_warm": minhash_warm,
                 "scale_rows": scale_rows,
