@@ -315,78 +315,6 @@ def main():
     _note(f"skew salted: {skew_salted}s")
     sk_a.unpersist(), sk_b.unpersist()
 
-    # ---- scale rows: conflate-only at 8x and 32x features, per-run
-    # window probes (VERDICT r3 #6: same discipline as the headline;
-    # a run bracketed by clean probes ends the repeats early) ----
-    def scale_row(mult: int, runs_n: int):
-        li_m = (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            .select(
-                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0")
-            )
-            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
-            .select((F.col("k0") * F.lit(mult) + F.col("rep")).alias("k"))
-            .repartition(2 * cpus)
-        )
-        # persist the derived layers — the SAME input-materialization
-        # rationale as the headline (bench_layers): on a real
-        # deployment these are parquet tables and every timed run
-        # scans the same bytes; deriving the ~20-expression synthetic
-        # input inside the timed window would measure the fixture, not
-        # the engine
-        am = demo.spark_layer_a(spark, sf_dir, None, "k", df=li_m).persist()
-        bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m).persist()
-        am.count(), bm.count()
-        from window_probe import alu_ops
-
-        runs = []
-        alus = [round(alu_ops(), 2)]
-        for i in range(runs_n):
-            t0 = time.time()
-            run_noop(conflate(am, bm))
-            runs.append(round(time.time() - t0, 3))
-            alus.append(round(alu_ops(), 2))
-            _note(f"scale {mult}x run: {runs[-1]}s "
-                  f"(alu {alus[-2]}->{alus[-1]})")
-            # a run bracketed by clean ALU probes IS the clean-window
-            # number — min-of-N exists to ride out contention bursts,
-            # not to re-measure a verified-clean run (r5 measured two
-            # post-clean repeats costing 109 s inside one burst)
-            if alus[-2] > 24 and alus[-1] > 24:
-                break
-            if over_budget():
-                break  # keep what we have; drop marked via runs list
-        am.unpersist(), bm.unpersist()
-        return runs, alus
-
-    probe_scale_before = probe_window()
-    # 3 attempts: this host's contention bursts swing a single 8x run
-    # 6s <-> 130s within a minute (measured); min-of-3 materially
-    # improves the odds one run lands clean, and the over_budget
-    # break keeps bad windows from eating the wall budget
-    runs8, alus8 = scale_row(8, 3)
-    n8, t8 = n_features * 8, min(runs8)
-    probe_scale_after = probe_window()
-    # optional in-run 32x row (19.2M features): ONLY with ample budget
-    # headroom and a probe-verified clean window — a contended window
-    # measured 260 s for this row, which would blow the driver's wall
-    # limit (that's why r4 removed it). The pinned builder-side
-    # min-of-3 record (21.3 s = 901k f/s, scripts/bench_scale32.py)
-    # lives in BENCH/BASELINE.md either way.
-    row32 = None
-    if time.time() - _T0 < 180 and probe_scale_after["alu_mops"] > 24:
-        _note("clean window + headroom: attempting in-run 32x row")
-        runs32, alus32 = scale_row(32, 1)
-        if runs32:
-            row32 = {
-                "features": n_features * 32,
-                "sec": min(runs32),
-                "fps": round(n_features * 32 / min(runs32), 1),
-                "runs": runs32,
-                "alu_probes": alus32,
-            }
-            _note(f"32x row: {row32}")
-
     # ---- ANN recall@5 vs brute force (multi-probe closes the LSH
     # recall cliff; VERDICT r1 #6) ----
     from overmatch_spark.operators.ann import (
@@ -534,6 +462,85 @@ def main():
             "shortlist": sl,
         }
     _note("ann sections done")
+
+    # ---- scale rows: conflate-only at 8x and 32x features, per-run
+    # window probes (VERDICT r3 #6: same discipline as the headline;
+    # a run bracketed by clean probes ends the repeats early).
+    # Deliberately LAST (r5): these are the most budget-hungry rows in
+    # a contended window (3 runs hit 33-88 s each once), and they have
+    # a pinned builder-side record — so budget pressure should shed
+    # their repeats, never the ANN receipts that used to sit after
+    # them (the r4 guard dropped the ivfpq receipt that way) ----
+    def scale_row(mult: int, runs_n: int):
+        li_m = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0")
+            )
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select((F.col("k0") * F.lit(mult) + F.col("rep")).alias("k"))
+            .repartition(2 * cpus)
+        )
+        # persist the derived layers — the SAME input-materialization
+        # rationale as the headline (bench_layers): on a real
+        # deployment these are parquet tables and every timed run
+        # scans the same bytes; deriving the ~20-expression synthetic
+        # input inside the timed window would measure the fixture, not
+        # the engine
+        am = demo.spark_layer_a(spark, sf_dir, None, "k", df=li_m).persist()
+        bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m).persist()
+        am.count(), bm.count()
+        from window_probe import alu_ops
+
+        runs = []
+        alus = [round(alu_ops(), 2)]
+        for i in range(runs_n):
+            t0 = time.time()
+            run_noop(conflate(am, bm))
+            runs.append(round(time.time() - t0, 3))
+            alus.append(round(alu_ops(), 2))
+            _note(f"scale {mult}x run: {runs[-1]}s "
+                  f"(alu {alus[-2]}->{alus[-1]})")
+            # a run bracketed by clean ALU probes IS the clean-window
+            # number — min-of-N exists to ride out contention bursts,
+            # not to re-measure a verified-clean run (r5 measured two
+            # post-clean repeats costing 109 s inside one burst)
+            if alus[-2] > 24 and alus[-1] > 24:
+                break
+            if over_budget():
+                break  # keep what we have; drop marked via runs list
+        am.unpersist(), bm.unpersist()
+        return runs, alus
+
+    probe_scale_before = probe_window()
+    # 3 attempts: this host's contention bursts swing a single 8x run
+    # 6s <-> 130s within a minute (measured); min-of-3 materially
+    # improves the odds one run lands clean, and the over_budget
+    # break keeps bad windows from eating the wall budget
+    runs8, alus8 = scale_row(8, 3)
+    n8, t8 = n_features * 8, min(runs8)
+    probe_scale_after = probe_window()
+    # optional in-run 32x row (19.2M features): ONLY with ample budget
+    # headroom and a probe-verified clean window — a contended window
+    # measured 260 s for this row, which would blow the driver's wall
+    # limit (that's why r4 removed it). The pinned builder-side
+    # min-of-3 record (21.3 s = 901k f/s, scripts/bench_scale32.py)
+    # lives in BENCH/BASELINE.md either way.
+    row32 = None
+    # (threshold raised 180->280 when the scale rows moved behind the
+    # ANN receipts: ~100 s of recall receipts now precede this point)
+    if time.time() - _T0 < 280 and probe_scale_after["alu_mops"] > 24:
+        _note("clean window + headroom: attempting in-run 32x row")
+        runs32, alus32 = scale_row(32, 1)
+        if runs32:
+            row32 = {
+                "features": n_features * 32,
+                "sec": min(runs32),
+                "fps": round(n_features * 32 / min(runs32), 1),
+                "runs": runs32,
+                "alu_probes": alus32,
+            }
+            _note(f"32x row: {row32}")
 
     elapsed = round(time.time() - _T0, 1)
     # scale_rows: throughput must RISE with input size (no super-linear
