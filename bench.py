@@ -516,9 +516,25 @@ def main():
     # 3 attempts: this host's contention bursts swing a single 8x run
     # 6s <-> 130s within a minute (measured); min-of-3 materially
     # improves the odds one run lands clean, and the over_budget
-    # break keeps bad windows from eating the wall budget
-    runs8, alus8 = scale_row(8, 3)
-    n8, t8 = n_features * 8, min(runs8)
+    # break keeps bad windows from eating the wall budget.
+    # HEADROOM GUARD (r5): the in-loop budget check can't preempt a
+    # run already in flight — one contended 8x run measured 128.8 s
+    # after starting at elapsed 392 s (just under the soft budget),
+    # landing the suite at 542 s against the driver's ~590 s wall.
+    # Never START the row without the headroom to absorb the bad
+    # case; the pinned builder-side record covers the receipt either
+    # way, and the skip is marked in both artifacts.
+    headroom = SOFT_BUDGET_S - (time.time() - _T0)
+    if headroom > 120 or (
+        probe_scale_before["alu_mops"] > 24 and headroom > 60
+    ):
+        runs8, alus8 = scale_row(8, 3)
+    else:
+        _note(f"8x row skipped: headroom {round(headroom, 1)}s, "
+              f"alu {probe_scale_before['alu_mops']}")
+        runs8, alus8 = [], [probe_scale_before["alu_mops"]]
+    n8 = n_features * 8
+    t8 = min(runs8) if runs8 else None
     probe_scale_after = probe_window()
     # optional in-run 32x row (19.2M features): ONLY with ample budget
     # headroom and a probe-verified clean window — a contended window
@@ -551,7 +567,14 @@ def main():
             "sec": times["conflate"],
             "fps": round(n_features / times["conflate"], 1),
         },
-        {"features": n8, "sec": t8, "fps": round(n8 / t8, 1), "runs": runs8},
+        (
+            {"features": n8, "sec": t8, "fps": round(n8 / t8, 1),
+             "runs": runs8}
+            if t8 is not None
+            else {"features": n8,
+                  "skipped": "no budget headroom (pinned record: "
+                             "scripts/bench_scale32.py)"}
+        ),
     ]
     if row32 is not None:
         scale_rows.append(row32)
