@@ -65,6 +65,21 @@ def over_budget() -> bool:
     return time.time() - _T0 > SOFT_BUDGET_S
 
 
+# Hard skip tier (r5): a catastrophically contended window pushed the
+# suite to elapsed ~536 s BEFORE the ANN sections; attempting their
+# ~200 s contended cost from there hit the driver's wall limit and the
+# kill lost the ENTIRE artifact (stdout empty, receipts unwritten) --
+# the exact failure the soft budget was built to prevent. Past
+# HARD_SKIP_S a whole remaining section is skipped with an explicit
+# marker: a partial artifact that parses always beats a complete run
+# that never prints.
+HARD_SKIP_S = SOFT_BUDGET_S + 60
+
+
+def hard_over() -> bool:
+    return time.time() - _T0 > HARD_SKIP_S
+
+
 _SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
 if _SCRIPTS_DIR not in sys.path:
     sys.path.insert(0, _SCRIPTS_DIR)
@@ -281,39 +296,44 @@ def main():
 
     from overmatch_spark.operators.conflate import detect_hot_cells
 
-    sk_a, sk_b = skewed_layers(spark, sf_dir, cpus)
-    # same input-materialization policy as every other timed row:
-    # the timed runs scan persisted layer bytes, not the synthetic
-    # derivation + hot remap
-    sk_a, sk_b = sk_a.persist(), sk_b.persist()
-    sk_a.count(), sk_b.count()
-    sk_bb = sk_b.withColumn("x", X.merc_x(F.col("lon"))).withColumn(
-        "y", X.merc_y(F.col("lat"))
-    )
-    # the hot-cell pre-pass is once-per-corpus-version work a real
-    # pipeline amortizes, but its cost is REPORTED (skew_detect_sec)
-    # so the salted path hides nothing the unsalted path skips
-    t0 = time.time()
-    hot = detect_hot_cells(sk_bb, res=17, threshold=1000)
-    skew_detect = round(time.time() - t0, 3)
-    # budget re-evaluated PER SIDE (r4 advisory: a single pre-computed
-    # runs_n let the salted side run 2 full conflations even when the
-    # unsalted min-of-2 had already crossed the budget)
-    skew_unsalted = min(
-        _timed(lambda: run_noop(conflate(sk_a, sk_b)))
-        for _ in range(1 if over_budget() else 2)
-    )
-    _note(f"skew unsalted: {skew_unsalted}s")
-    skew_salted = min(
-        _timed(
-            lambda: run_noop(
-                conflate(sk_a, sk_b, hot_cells=hot, salt_factor=16)
-            )
+    if hard_over():
+        _note("skew row skipped: past hard budget")
+        hot, skew_detect = [], None
+        skew_unsalted = skew_salted = None
+    else:
+        sk_a, sk_b = skewed_layers(spark, sf_dir, cpus)
+        # same input-materialization policy as every other timed row:
+        # the timed runs scan persisted layer bytes, not the synthetic
+        # derivation + hot remap
+        sk_a, sk_b = sk_a.persist(), sk_b.persist()
+        sk_a.count(), sk_b.count()
+        sk_bb = sk_b.withColumn("x", X.merc_x(F.col("lon"))).withColumn(
+            "y", X.merc_y(F.col("lat"))
         )
-        for _ in range(1 if over_budget() else 2)
-    )
-    _note(f"skew salted: {skew_salted}s")
-    sk_a.unpersist(), sk_b.unpersist()
+        # the hot-cell pre-pass is once-per-corpus-version work a real
+        # pipeline amortizes, but its cost is REPORTED (skew_detect_sec)
+        # so the salted path hides nothing the unsalted path skips
+        t0 = time.time()
+        hot = detect_hot_cells(sk_bb, res=17, threshold=1000)
+        skew_detect = round(time.time() - t0, 3)
+        # budget re-evaluated PER SIDE (r4 advisory: a single pre-computed
+        # runs_n let the salted side run 2 full conflations even when the
+        # unsalted min-of-2 had already crossed the budget)
+        skew_unsalted = min(
+            _timed(lambda: run_noop(conflate(sk_a, sk_b)))
+            for _ in range(1 if over_budget() else 2)
+        )
+        _note(f"skew unsalted: {skew_unsalted}s")
+        skew_salted = min(
+            _timed(
+                lambda: run_noop(
+                    conflate(sk_a, sk_b, hot_cells=hot, salt_factor=16)
+                )
+            )
+            for _ in range(1 if over_budget() else 2)
+        )
+        _note(f"skew salted: {skew_salted}s")
+        sk_a.unpersist(), sk_b.unpersist()
 
     # ---- ANN recall@5 vs brute force (multi-probe closes the LSH
     # recall cliff; VERDICT r1 #6) ----
@@ -325,142 +345,150 @@ def main():
         reference_ivf_centroids,
     )
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    probes = e.filter(F.col("vec_id") < 50)
-    truth = brute_force_topk(e, probes, "embedding", "vec_id", k=5).select(
-        "probe_id", "cand_id"
-    ).persist()
-    n_truth = truth.count()
+    if hard_over():
+        _note("ann sections skipped: past hard budget")
+        recall_lsh = recall_mp = recall_ivf = None
+        curve, pq_curve = {}, {}
+        curve_truncated = True
+        clustered_ann = {"skipped": "hard budget"}
+        ivfpq_clustered = {"skipped": "hard budget"}
+    else:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        probes = e.filter(F.col("vec_id") < 50)
+        truth = brute_force_topk(e, probes, "embedding", "vec_id", k=5).select(
+            "probe_id", "cand_id"
+        ).persist()
+        n_truth = truth.count()
 
-    def recall(df):
-        hit = df.select("probe_id", "cand_id").join(
-            truth, ["probe_id", "cand_id"], "left_semi"
-        ).count()
-        return round(hit / n_truth, 4)
+        def recall(df):
+            hit = df.select("probe_id", "cand_id").join(
+                truth, ["probe_id", "cand_id"], "left_semi"
+            ).count()
+            return round(hit / n_truth, 4)
 
-    recall_lsh = recall(lsh_topk(e, probes, "embedding", "vec_id", k=5))
-    recall_mp = recall(
-        multiprobe_topk(e, probes, "embedding", "vec_id", k=5, extra=2)
-    )
-    recall_ivf = recall(
-        ivf_topk(
-            e, probes, "embedding", "vec_id", reference_ivf_centroids(),
-            k=5, nprobe=2,
+        recall_lsh = recall(lsh_topk(e, probes, "embedding", "vec_id", k=5))
+        recall_mp = recall(
+            multiprobe_topk(e, probes, "embedding", "vec_id", k=5, extra=2)
         )
-    )
-    # recall/cost curve (VERDICT r2 #3): candidate volume is
-    # nprobe/k_lists of the corpus per probe; the driver embeddings
-    # are near-isotropic (recall ~ 1.4-2.4x scan fraction), so the
-    # documented >=0.8 dial is the k=64 quantizer at nprobe=32.
-    # Section order = receipt importance (r4 lesson: a contended
-    # window blew the budget and the guard dropped the ivfpq receipt,
-    # a verdict deliverable): primary dial point, then clustered +
-    # ivfpq, THEN the budget-gated secondary points.
-    c64 = reference_ivf_centroids(64)
-    curve = {
-        "ivf64_np32": {
-            "recall_at5": recall(
-                ivf_topk(e, probes, "embedding", "vec_id", c64, k=5, nprobe=32)
-            ),
-            "scan_frac": round(32 / 64, 4),
-        }
-    }
-    curve_truncated = False  # sibling flag (r4 advisory: a bool entry
-    # inside the curve dict broke consumers iterating recall points)
-
-    # ---- ANN on CLUSTERED geometry (VERDICT r3 #4): the driver
-    # embeddings are near-isotropic, which provably bounds ANY
-    # list-pruning index to recall ~ scan fraction; the deterministic
-    # clustered view (ann.clustered_view — same vectors, shrunk to
-    # noise around 16 analytic centers) shows the dial's real value
-    # where real embedding corpora live: high recall at a small scan
-    # fraction ----
-    from overmatch_spark.operators.ann import (
-        clustered_centers,
-        clustered_view,
-        ivfpq_topk,
-        pq_topk,
-        reference_pq_codebooks,
-    )
-
-    ecv = e.select(
-        "vec_id",
-        clustered_view(
-            F.col("embedding").cast("array<double>"), F.col("vec_id")
-        ).alias("embedding"),
-    )
-    probes_c = ecv.filter(F.col("vec_id") < 50)
-    truth_c = brute_force_topk(ecv, probes_c, "embedding", "vec_id", k=5).select(
-        "probe_id", "cand_id"
-    ).persist()
-    n_truth_c = truth_c.count()
-    hits_c = (
-        ivf_topk(
-            ecv, probes_c, "embedding", "vec_id", clustered_centers(),
-            k=5, nprobe=1,
+        recall_ivf = recall(
+            ivf_topk(
+                e, probes, "embedding", "vec_id", reference_ivf_centroids(),
+                k=5, nprobe=2,
+            )
         )
-        .select("probe_id", "cand_id")
-        .join(truth_c, ["probe_id", "cand_id"], "left_semi")
-        .count()
-    )
-    clustered_ann = {
-        "recall_at5": round(hits_c / n_truth_c, 4),
-        "scan_frac": round(1 / 16, 4),
-    }
-    # IVF+PQ composed (FAISS-IVFPQ shape): list pruning AND 64x code
-    # compression at once, exact re-rank on the shortlist. NOT
-    # budget-gated: it is a primary receipt (r4's guard dropped it)
-    # and costs one bounded nprobe=1 scan over 2k clustered vectors.
-    hits_ivfpq = (
-        ivfpq_topk(
-            ecv, probes_c, "embedding", "vec_id", clustered_centers(),
-            reference_pq_codebooks(), k=5, nprobe=1, shortlist=50,
+        # recall/cost curve (VERDICT r2 #3): candidate volume is
+        # nprobe/k_lists of the corpus per probe; the driver embeddings
+        # are near-isotropic (recall ~ 1.4-2.4x scan fraction), so the
+        # documented >=0.8 dial is the k=64 quantizer at nprobe=32.
+        # Section order = receipt importance (r4 lesson: a contended
+        # window blew the budget and the guard dropped the ivfpq receipt,
+        # a verdict deliverable): primary dial point, then clustered +
+        # ivfpq, THEN the budget-gated secondary points.
+        c64 = reference_ivf_centroids(64)
+        curve = {
+            "ivf64_np32": {
+                "recall_at5": recall(
+                    ivf_topk(e, probes, "embedding", "vec_id", c64, k=5, nprobe=32)
+                ),
+                "scan_frac": round(32 / 64, 4),
+            }
+        }
+        curve_truncated = False  # sibling flag (r4 advisory: a bool entry
+        # inside the curve dict broke consumers iterating recall points)
+
+        # ---- ANN on CLUSTERED geometry (VERDICT r3 #4): the driver
+        # embeddings are near-isotropic, which provably bounds ANY
+        # list-pruning index to recall ~ scan fraction; the deterministic
+        # clustered view (ann.clustered_view — same vectors, shrunk to
+        # noise around 16 analytic centers) shows the dial's real value
+        # where real embedding corpora live: high recall at a small scan
+        # fraction ----
+        from overmatch_spark.operators.ann import (
+            clustered_centers,
+            clustered_view,
+            ivfpq_topk,
+            pq_topk,
+            reference_pq_codebooks,
         )
-        .select("probe_id", "cand_id")
-        .join(truth_c, ["probe_id", "cand_id"], "left_semi")
-        .count()
-    )
-    ivfpq_clustered = {
-        "recall_at5": round(hits_ivfpq / n_truth_c, 4),
-        "scan_frac": round(1 / 16, 4),
-        "compression": "64x (32-bit PQ codes)",
-    }
-    truth_c.unpersist()
 
-    # ---- secondary IVF curve points (budget-gated) ----
-    for tag, cents, npb in [
-        ("ivf16_np4", None, 4), ("ivf16_np8", None, 8),
-        ("ivf64_np16", c64, 16), ("ivf64_np24", c64, 24),
-    ]:
-        if over_budget():
-            curve_truncated = True
-            break
-        cc = cents if cents is not None else reference_ivf_centroids()
-        curve[tag] = {
-            "recall_at5": recall(
-                ivf_topk(e, probes, "embedding", "vec_id", cc, k=5, nprobe=npb)
-            ),
-            "scan_frac": round(npb / len(cc), 4),
+        ecv = e.select(
+            "vec_id",
+            clustered_view(
+                F.col("embedding").cast("array<double>"), F.col("vec_id")
+            ).alias("embedding"),
+        )
+        probes_c = ecv.filter(F.col("vec_id") < 50)
+        truth_c = brute_force_topk(ecv, probes_c, "embedding", "vec_id", k=5).select(
+            "probe_id", "cand_id"
+        ).persist()
+        n_truth_c = truth_c.count()
+        hits_c = (
+            ivf_topk(
+                ecv, probes_c, "embedding", "vec_id", clustered_centers(),
+                k=5, nprobe=1,
+            )
+            .select("probe_id", "cand_id")
+            .join(truth_c, ["probe_id", "cand_id"], "left_semi")
+            .count()
+        )
+        clustered_ann = {
+            "recall_at5": round(hits_c / n_truth_c, 4),
+            "scan_frac": round(1 / 16, 4),
         }
+        # IVF+PQ composed (FAISS-IVFPQ shape): list pruning AND 64x code
+        # compression at once, exact re-rank on the shortlist. NOT
+        # budget-gated: it is a primary receipt (r4's guard dropped it)
+        # and costs one bounded nprobe=1 scan over 2k clustered vectors.
+        hits_ivfpq = (
+            ivfpq_topk(
+                ecv, probes_c, "embedding", "vec_id", clustered_centers(),
+                reference_pq_codebooks(), k=5, nprobe=1, shortlist=50,
+            )
+            .select("probe_id", "cand_id")
+            .join(truth_c, ["probe_id", "cand_id"], "left_semi")
+            .count()
+        )
+        ivfpq_clustered = {
+            "recall_at5": round(hits_ivfpq / n_truth_c, 4),
+            "scan_frac": round(1 / 16, 4),
+            "compression": "64x (32-bit PQ codes)",
+        }
+        truth_c.unpersist()
 
-    # ---- PQ-ADC + exact re-rank: the memory-bounded retrieval stack
-    # (corpus rides as 32-bit codes, 64x compression). The re-rank
-    # shortlist FRACTION is the dial; the primary 10% point always
-    # runs, the 5% point is budget-gated ----
-    n_corpus = e.count()
-    pq_curve = {}
-    fracs = (0.10,) if over_budget() else (0.10, 0.05)
-    for frac in fracs:
-        sl = max(20, int(n_corpus * frac))
-        pq_curve[f"rerank_{int(frac * 100)}pct"] = {
-            "recall_at5": recall(
-                pq_topk(
-                    e, probes, "embedding", "vec_id",
-                    reference_pq_codebooks(), k=5, shortlist=sl,
-                )
-            ),
-            "shortlist": sl,
-        }
+        # ---- secondary IVF curve points (budget-gated) ----
+        for tag, cents, npb in [
+            ("ivf16_np4", None, 4), ("ivf16_np8", None, 8),
+            ("ivf64_np16", c64, 16), ("ivf64_np24", c64, 24),
+        ]:
+            if over_budget():
+                curve_truncated = True
+                break
+            cc = cents if cents is not None else reference_ivf_centroids()
+            curve[tag] = {
+                "recall_at5": recall(
+                    ivf_topk(e, probes, "embedding", "vec_id", cc, k=5, nprobe=npb)
+                ),
+                "scan_frac": round(npb / len(cc), 4),
+            }
+
+        # ---- PQ-ADC + exact re-rank: the memory-bounded retrieval stack
+        # (corpus rides as 32-bit codes, 64x compression). The re-rank
+        # shortlist FRACTION is the dial; the primary 10% point always
+        # runs, the 5% point is budget-gated ----
+        n_corpus = e.count()
+        pq_curve = {}
+        fracs = (0.10,) if over_budget() else (0.10, 0.05)
+        for frac in fracs:
+            sl = max(20, int(n_corpus * frac))
+            pq_curve[f"rerank_{int(frac * 100)}pct"] = {
+                "recall_at5": recall(
+                    pq_topk(
+                        e, probes, "embedding", "vec_id",
+                        reference_pq_codebooks(), k=5, shortlist=sl,
+                    )
+                ),
+                "shortlist": sl,
+            }
     _note("ann sections done")
 
     # ---- scale rows: conflate-only at 8x and 32x features, per-run
@@ -601,6 +629,8 @@ def main():
         ),
         "scale_probe_before": probe_scale_before,
         "scale_probe_after": probe_scale_after,
+        "skew_skipped_hard_budget": skew_salted is None,
+        "ann_skipped_hard_budget": not curve,
         "skew_hot_cells": len(hot),
         "skew_detect_sec": skew_detect,
         "skew_unsalted_sec": skew_unsalted,
@@ -655,7 +685,7 @@ def main():
             ]
             for tag, pt in pq_curve.items()
         },
-        "clustered_ivf16_np1": clustered_ann["recall_at5"],
+        "clustered_ivf16_np1": clustered_ann.get("recall_at5"),
         "clustered_ivfpq_np1": ivfpq_clustered.get("recall_at5"),
     }
 
@@ -683,13 +713,17 @@ def main():
                 "knn_warm": knn_warm,
                 "minhash_warm": minhash_warm,
                 "scale_rows": scale_rows,
-                "skew": {
-                    "unsalted_sec": skew_unsalted,
-                    "salted_sec": skew_salted,
-                    "speedup": round(skew_unsalted / skew_salted, 2),
-                    "hot_cells": len(hot),
-                    "detect_sec": skew_detect,
-                },
+                "skew": (
+                    {
+                        "unsalted_sec": skew_unsalted,
+                        "salted_sec": skew_salted,
+                        "speedup": round(skew_unsalted / skew_salted, 2),
+                        "hot_cells": len(hot),
+                        "detect_sec": skew_detect,
+                    }
+                    if skew_salted
+                    else {"skipped": "hard budget"}
+                ),
                 "ann_recall_at5": ann_compact,
                 "ann_curve_truncated": curve_truncated,
                 "probe_alu_mops": {
