@@ -353,6 +353,13 @@ def main():
         clustered_ann = {"skipped": "hard budget"}
         ivfpq_clustered = {"skipped": "hard budget"}
     else:
+        # the ANN receipts run over ~2k vectors: at the bench default
+        # of 2*cpus shuffle partitions every tiny stage schedules 64
+        # tasks of pure overhead, and the ~15-action block measured
+        # 180-307 s of the suite wall. Scoped to 8 partitions
+        # (restored below): measured 2x faster post-JIT with
+        # bit-identical recalls (the dial is physical only)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         probes = e.filter(F.col("vec_id") < 50)
         truth = brute_force_topk(e, probes, "embedding", "vec_id", k=5).select(
@@ -489,6 +496,8 @@ def main():
                 ),
                 "shortlist": sl,
             }
+    # restore the timing-row partitioning before the scale rows
+    spark.conf.set("spark.sql.shuffle.partitions", str(2 * cpus))
     _note("ann sections done")
 
     # ---- scale rows: conflate-only at 8x and 32x features, per-run
