@@ -142,40 +142,6 @@ def _dynamic_cover(ax, ay, radius, res: int):
     )
 
 
-def _choose_coarse_res(b: DataFrame, coarse_res: int,
-                       max_hist_cells: int) -> int:
-    """Escalate the coarse resolution until the occupied-cell count
-    fits the broadcast budget (one pass over the cached build side,
-    all candidate resolutions estimated at once). The scan floor is
-    resolution 2 — a 4x4 global grid, at most 16 occupied cells — so
-    for any budget >= 16 some resolution ALWAYS fits (within
-    approx_count_distinct's ~2-5% accuracy) rather than silently
-    overshooting."""
-    floor_res = 2
-    if coarse_res <= floor_res:
-        return coarse_res
-    # fast path: the requested resolution usually fits — one sketch
-    n = b.agg(
-        F.approx_count_distinct(
-            X.cell_of(F.col("bx"), F.col("by"), coarse_res)
-        ).alias("n")
-    ).first()["n"]
-    if n <= max_hist_cells:
-        return coarse_res
-    aggs = b.agg(
-        *[
-            F.approx_count_distinct(
-                X.cell_of(F.col("bx"), F.col("by"), r)
-            ).alias(f"r{r}")
-            for r in range(floor_res, coarse_res)
-        ]
-    ).first()
-    for r in range(coarse_res - 1, floor_res - 1, -1):
-        if aggs[f"r{r}"] <= max_hist_cells:
-            return r
-    return floor_res
-
-
 def _dyn_edge(res_col):
     """Cell edge in meters for a per-row resolution column (exact for
     integer resolutions: pow(2, r) is dyadic, so the division rounds
@@ -285,7 +251,6 @@ def knn_fallback(
     )
     reg.append(b)
     b0 = b  # histogram / ladder consumers ignore the cell column
-    coarse_res = _choose_coarse_res(b0, coarse_res, max_hist_cells)
     edge_c = X.cell_edge_m(coarse_res)
 
     # ---- phase 1: dynamic exact cover at radius edge/2 ----
@@ -328,9 +293,24 @@ def knn_fallback(
     # probe x cell product (the Window this replaces shuffled it all).
     # rest = probes with NO phase-1 candidate at all (not in best1)
     rest = pl.filter(F.col("dist").isNull()).select("osm_id", "ax", "ay")
-    hist = b0.groupBy(
-        X.cell_of(F.col("bx"), F.col("by"), coarse_res).alias("ccell")
-    ).agg(F.count("*").alias("n"))
+    # Broadcast-bound guard: keep the max_hist_cells DENSEST occupied
+    # cells (deterministic tie-break on the cell id). Correct for ANY
+    # non-empty subset: every kept cell is occupied, so for each probe
+    # min-over-kept-cells of maxdist still upper-bounds the distance
+    # to SOME real point, hence to the nearest — the ladder search is
+    # exact under any valid upper bound (property-tested). This
+    # replaced a driver-side adaptive-resolution sketch whose action
+    # forced a full derivation of the build side at plan-construction
+    # time (measured 6-12 s of the cold wall); the cap is a tiny TopK
+    # over occupied-cell counts, executed inside the DAG.
+    hist = (
+        b0.groupBy(
+            X.cell_of(F.col("bx"), F.col("by"), coarse_res).alias("ccell")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ccell"))
+        .limit(max_hist_cells)
+    )
     ix = F.shiftright(F.col("ccell"), 30)
     iy = F.col("ccell") - F.shiftleft(ix, 30).cast("long")
     cells = hist.select(

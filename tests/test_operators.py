@@ -267,15 +267,17 @@ class TestDedupKernels:
         assert got == pytest.approx(1 / np.sqrt(2), rel=1e-12)
 
 
-class TestKnnAdaptiveCoarse:
-    def test_histogram_budget_escalates_resolution(self, spark):
+class TestKnnHistogramCap:
+    def test_histogram_budget_cap_is_output_invariant(self, spark):
         """Phase-2b broadcast guard: a build side spread over far more
-        coarse cells than the histogram budget escalates coarse_res,
-        and the escalation never changes results (vs the numpy spec)."""
+        coarse cells than the histogram budget gets its broadcast
+        histogram capped to the max_hist_cells densest cells — any
+        non-empty subset of occupied cells yields valid (looser)
+        upper bounds, so results match the numpy spec exactly."""
         import numpy as np
 
         from overmatch_spark import expressions as X
-        from overmatch_spark.operators.knn import _choose_coarse_res, knn_fallback
+        from overmatch_spark.operators.knn import knn_fallback
         from overmatch_spark.spec import knn_spec
         from pyspark.sql import functions as F
 
@@ -305,12 +307,15 @@ class TestKnnAdaptiveCoarse:
         b = spark.createDataFrame(b_pd)
         empty_matches = spark.createDataFrame([], "osm_id string")
 
-        # globally-spread points occupy >> budget res-13 cells
+        # precondition: globally-spread points occupy >> budget res-13
+        # cells, so the cap genuinely truncates the histogram
         b0 = b.select(
             X.merc_x(F.col("lon")).alias("bx"), X.merc_y(F.col("lat")).alias("by")
         )
-        chosen = _choose_coarse_res(b0, 13, max_hist_cells=500)
-        assert chosen < 13
+        occupied = b0.select(
+            X.cell_of(F.col("bx"), F.col("by"), 13).alias("c")
+        ).distinct().count()
+        assert occupied > 500
 
         got = (
             knn_fallback(a, b, empty_matches, max_hist_cells=500)
