@@ -8,8 +8,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
+from window_probe import alu_ops
 
 from overmatch_spark import demo
 from overmatch_spark.operators import knn as knn_mod
@@ -54,6 +56,10 @@ def main():
     kw = {"res0": int(os.environ.get("KNN_RES0", "15"))}
     print("res0:", kw["res0"], flush=True)
 
+    # bracket each timed run with the host-window ALU probe (clean
+    # range is >24 Mops — see BENCH/PROTOCOL.md); a run is only a
+    # valid cold receipt when BOTH its brackets are clean
+    print(f"alu: {alu_ops():.2f}", flush=True)
     for i in range(3):
         caches = []
         t0 = time.time()
@@ -61,6 +67,7 @@ def main():
         run_noop(out)
         print(f"knn full run{i}: {time.time()-t0:.2f}s", flush=True)
         knn_mod.release_caches(caches)
+        print(f"alu: {alu_ops():.2f}", flush=True)
 
     # warm: second execution against a populated cache set
     caches = []
@@ -77,6 +84,7 @@ def main():
     out = knn_fallback(a, b, m, caches=caches, **kw)
     # caches order: probes, b0, best1, pl, ubs (see knn_fallback)
     names = ["probes", "b0", "best1", "pl", "ubs"]
+    print(f"alu: {alu_ops():.2f}", flush=True)
     t_all0 = time.time()
     for name, df in zip(names, list(caches)):
         t0 = time.time()
@@ -86,6 +94,7 @@ def main():
     run_noop(out)
     print(f"stage final(join+union): {time.time()-t0:.2f}s", flush=True)
     print(f"stage total: {time.time()-t_all0:.2f}s", flush=True)
+    print(f"alu: {alu_ops():.2f}", flush=True)
     knn_mod.release_caches(caches)
 
     caches = []
