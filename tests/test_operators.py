@@ -328,6 +328,45 @@ class TestKnnHistogramCap:
         assert got["overture_id"].tolist() == want["overture_id"].tolist()
         assert np.allclose(got["distance_m"], want["distance_m"], atol=0, rtol=0)
 
+    def test_construction_launches_no_jobs(self, spark):
+        """knn_fallback must contain ZERO driver-side actions: the
+        coarse-res sketch it used to run at plan-construction time
+        (an approx_count_distinct .first() that forced a full
+        derivation of the build side before the timed job started)
+        is a regression this test makes impossible to reintroduce.
+        Inputs are poisoned so that evaluating ANY row raises —
+        construction succeeding proves no job touched the data."""
+        import pytest as _pytest
+
+        from overmatch_spark.operators import knn as knn_mod
+        from overmatch_spark.operators.knn import knn_fallback
+        from pyspark.sql import functions as F
+
+        # row-dependent guard keeps Catalyst from constant-folding the
+        # raise_error away (or evaluating it) at optimization time
+        poison = F.when(
+            F.col("id") >= 0, F.raise_error("evaluated at construction")
+        ).otherwise(F.lit(None)).cast("double")
+        a = spark.range(4).select(
+            F.col("id").cast("string").alias("osm_id"),
+            F.lit("x").alias("name"),
+            poison.alias("lon"),
+            poison.alias("lat"),
+        )
+        b = spark.range(4).select(
+            F.col("id").cast("string").alias("id"),
+            poison.alias("lon"),
+            poison.alias("lat"),
+        )
+        m = spark.createDataFrame([], "osm_id string")
+
+        caches = []
+        out = knn_fallback(a, b, m, caches=caches)  # must not raise
+        # the poison is real: materializing DOES evaluate it
+        with _pytest.raises(Exception, match="evaluated at construction"):
+            out.count()
+        knn_mod.release_caches(caches)
+
 
 class TestMatchIds:
     def test_ids_equal_global_row_number(self, spark):
