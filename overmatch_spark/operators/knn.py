@@ -302,7 +302,11 @@ def knn_fallback(
     # replaced a driver-side adaptive-resolution sketch whose action
     # forced a full derivation of the build side at plan-construction
     # time (measured 6-12 s of the cold wall); the cap is a tiny TopK
-    # over occupied-cell counts, executed inside the DAG.
+    # over occupied-cell counts, executed inside the DAG. Scale bound:
+    # the TopK's single-partition merge sees at most
+    # min(4^coarse_res, shuffle_partitions * max_hist_cells) histogram
+    # rows (post-aggregate, 16 B each) — one bounded task, guard path
+    # only.
     hist = (
         b0.groupBy(
             X.cell_of(F.col("bx"), F.col("by"), coarse_res).alias("ccell")
