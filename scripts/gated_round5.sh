@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-5 window-gated receipt chain (BENCH/PROTOCOL.md §1 gate):
+# poll the ALU probe until the host window is clean (>24 Mops,
+# confirmed twice 20 s apart), then fire, in receipt-precedence
+# order, (1) a full sf0.1 bench.py run — refreshes
+# BENCH/bench_receipts_latest.json with post-sketch-removal knn
+# numbers — and (2) a bench_scaling.py --retry pass chasing a
+# clean-pair scaling row. Everything is serialized; logs land in
+# /tmp/gated_r5_*.log. Exits after one full chain or the deadline.
+set -u
+cd /root/repo
+DEADLINE=$(( $(date +%s) + ${GATED_BUDGET_S:-7200} ))
+probe() { python -c "
+import sys; sys.path.insert(0,'scripts')
+from window_probe import alu_ops
+print(round(alu_ops(),2))"; }
+
+BENCH_DONE=0
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  A=$(probe)
+  if python -c "import sys; sys.exit(0 if float('$A')>24 else 1)"; then
+    sleep 20
+    B=$(probe)
+    if python -c "import sys; sys.exit(0 if float('$B')>24 else 1)"; then
+      echo "$(date +%T) clean window confirmed (alu $A/$B)"
+      if [ "$BENCH_DONE" -eq 0 ]; then
+        echo "$(date +%T) firing bench.py sf0.1"
+        timeout 580 python bench.py > /tmp/gated_r5_bench.log 2>/tmp/gated_r5_bench.err
+        rc=$?
+        echo "$(date +%T) bench.py rc=$rc"
+        [ $rc -eq 0 ] && BENCH_DONE=1
+      else
+        echo "$(date +%T) firing bench_scaling --retry (25 min cap)"
+        python bench_scaling.py --retry --max-minutes 25 \
+          > /tmp/gated_r5_scaling.log 2>&1
+        echo "$(date +%T) scaling rc=$?"
+        break
+      fi
+    else
+      echo "$(date +%T) window collapsed before confirm (alu $A -> $B)"
+    fi
+  else
+    sleep 45
+  fi
+done
+echo "$(date +%T) gated chain done (bench_done=$BENCH_DONE)"
