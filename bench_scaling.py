@@ -95,19 +95,46 @@ n = a.count()
 # run counts as CLEAN only when the probes immediately before and
 # after it are both in the clean band — contention bursts on this box
 # are shorter than a 3-run side, so one end-of-side probe misgates
-# runs that individually executed clean
+# runs that individually executed clean.
+# Two window-economy rules (r5, same pattern as bench.py's knn gate):
+#   - bounded wait: before a retry whose pre-run probe is dirty, poll
+#     (3 s interval, capped per side) for recovery instead of burning
+#     a 45-60 s run that can never count; a wait refreshes only the
+#     NEXT run's pre-probe, never an earlier run's bracket
+#   - early exit: the side's number is its best clean-bracketed run
+#     (BENCH/PROTOCOL.md §3), so once one lands the remaining runs
+#     only spend the window the OTHER side still needs
 runs_n = int(os.environ.get("SCALING_RUNS", "3"))
-runs, alus = [], [round(alu_ops(), 2)]
-for _ in range(runs_n):
+wait_cap = float(os.environ.get("SCALING_WAIT_CAP_S", "60"))
+runs, brackets = [], []
+wait_s = 0.0
+early_exit = False
+pre = round(alu_ops(), 2)
+for i in range(runs_n):
+    if i >= 1 and pre <= 24:
+        w0 = time.time()
+        while time.time() - w0 < wait_cap - wait_s:
+            time.sleep(3)
+            pre = round(alu_ops(), 2)
+            if pre > 24:
+                break
+        wait_s += time.time() - w0
     t0 = time.time()
     conflate(a, b).write.format("noop").mode("overwrite").save()
     runs.append(round(time.time() - t0, 2))
-    alus.append(round(alu_ops(), 2))
+    post = round(alu_ops(), 2)
+    brackets.append([pre, post])
+    if pre > 24 and post > 24 and i < runs_n - 1:
+        early_exit = True
+        break
+    pre = post
 best = min(runs)
 clean_runs = [runs[i] for i in range(len(runs))
-              if alus[i] > 24 and alus[i + 1] > 24]
+              if brackets[i][0] > 24 and brackets[i][1] > 24]
 print("RESULT " + json.dumps({"level": level, "cores": cpus, "features": n,
-                              "runs": runs, "alu_probes": alus,
+                              "runs": runs, "alu_brackets": brackets,
+                              "wait_s": round(wait_s, 1),
+                              "early_exit": early_exit,
                               "clean_runs": clean_runs, "sec": best,
                               "clean_sec": min(clean_runs) if clean_runs else None,
                               "throughput": round(n / best, 1)}))
