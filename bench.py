@@ -219,7 +219,7 @@ def main():
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
     )
-    from window_probe import alu_ops
+    from window_probe import alu_med
 
     knn_cold_runs = []
     # per-run ALU brackets [pre, post] — a run counts CLEAN only when
@@ -236,13 +236,13 @@ def main():
     knn_brackets: list = []
     knn_wait_s = 0.0
     _KNN_WAIT_CAP_S = 45.0
-    pre = round(alu_ops(), 2)
+    pre = round(alu_med(), 2)
     for i in range(4):
         if i >= 1 and pre <= 24 and not over_budget():
             w0 = time.time()
             while time.time() - w0 < _KNN_WAIT_CAP_S - knn_wait_s:
-                time.sleep(3)
-                pre = round(alu_ops(), 2)
+                time.sleep(2)
+                pre = round(alu_med(), 2)
                 if pre > 24:
                     break
             knn_wait_s += time.time() - w0
@@ -250,7 +250,7 @@ def main():
         t0 = time.time()
         run_noop(knn_fallback(a, b, m, caches=caches, **knn_kwargs))
         knn_cold_runs.append(round(time.time() - t0, 3))
-        post = round(alu_ops(), 2)
+        post = round(alu_med(), 2)
         knn_brackets.append([pre, post])
         if i == 3:
             break  # caches stay for the warm twin
@@ -557,15 +557,15 @@ def main():
         am = demo.spark_layer_a(spark, sf_dir, None, "k", df=li_m).persist()
         bm = demo.spark_layer_b(spark, sf_dir, None, "k", df=li_m).persist()
         am.count(), bm.count()
-        from window_probe import alu_ops
+        from window_probe import alu_med
 
         runs = []
-        alus = [round(alu_ops(), 2)]
+        alus = [round(alu_med(), 2)]
         for i in range(runs_n):
             t0 = time.time()
             run_noop(conflate(am, bm))
             runs.append(round(time.time() - t0, 3))
-            alus.append(round(alu_ops(), 2))
+            alus.append(round(alu_med(), 2))
             _note(f"scale {mult}x run: {runs[-1]}s "
                   f"(alu {alus[-2]}->{alus[-1]})")
             # a run bracketed by clean ALU probes IS the clean-window

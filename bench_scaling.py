@@ -33,7 +33,7 @@ WORKER = r"""
 import json, os, sys, time, zipfile
 sys.path.insert(0, os.environ["REPO"])
 sys.path.insert(0, os.path.join(os.environ["REPO"], "scripts"))
-from window_probe import alu_ops
+from window_probe import alu_med
 from pyspark.sql import SparkSession, functions as F
 
 mode, level = sys.argv[1], int(sys.argv[2])
@@ -114,20 +114,20 @@ wait_cap = float(os.environ.get("SCALING_WAIT_CAP_S", "60"))
 runs, brackets = [], []
 wait_s = 0.0
 early_exit = False
-pre = round(alu_ops(), 2)
+pre = round(alu_med(), 2)
 for i in range(runs_n):
     if i >= 1 and pre <= 24:
         w0 = time.time()
         while time.time() - w0 < wait_cap - wait_s:
-            time.sleep(3)
-            pre = round(alu_ops(), 2)
+            time.sleep(2)
+            pre = round(alu_med(), 2)
             if pre > 24:
                 break
         wait_s += time.time() - w0
     t0 = time.time()
     conflate(a, b).write.format("noop").mode("overwrite").save()
     runs.append(round(time.time() - t0, 2))
-    post = round(alu_ops(), 2)
+    post = round(alu_med(), 2)
     brackets.append([pre, post])
     if pre > 24 and post > 24 and i < runs_n - 1:
         early_exit = True

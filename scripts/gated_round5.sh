@@ -12,8 +12,8 @@ cd /root/repo
 DEADLINE=$(( $(date +%s) + ${GATED_BUDGET_S:-7200} ))
 probe() { python -c "
 import sys; sys.path.insert(0,'scripts')
-from window_probe import alu_ops
-print(round(alu_ops(),2))"; }
+from window_probe import alu_med
+print(round(alu_med(),2))"; }
 
 BENCH_DONE=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do

@@ -43,6 +43,23 @@ def alu_ops() -> float:
     return round(2_000_000 / (time.time() - t0) / 1e6, 2)
 
 
+def alu_med(n: int = 3, gap_s: float = 0.7) -> float:
+    """Median of n ALU samples spaced gap_s apart (~1.6 s for the
+    default). Measured 2026-08-18: this host's contention is BIMODAL
+    at a 1-3 s period (samples oscillate ~13-17 <-> ~24-27 Mops
+    within one second), so a single 0.1 s sample randomly reads
+    either phase — 'clean' single-sample gates fired multi-minute
+    scaling attempts into ~70%-duty-cycle contended regimes. The
+    median over a multi-second span classifies bimodal flicker as
+    dirty while leaving sustained-clean windows untouched."""
+    vals = [alu_ops()]
+    for _ in range(n - 1):
+        time.sleep(gap_s)
+        vals.append(alu_ops())
+    vals.sort()
+    return vals[len(vals) // 2]
+
+
 def _stream_worker(q):
     a = np.empty(8 << 20, dtype=np.float64)
     b = np.random.default_rng(0).random(8 << 20)
@@ -73,8 +90,10 @@ def stream_eff(n_lo: int = 2, n_hi: int = 8) -> float:
 def probe(mb: int = 32) -> dict:
     """The light alu+fsync probe every bench artifact embeds — ONE
     definition so probe_before/probe_after fields stay comparable
-    across bench.py, bench_scaling.py and bench_scale32.py rows."""
-    return {"alu_mops": alu_ops(), "tmp_fsync_mbps": fsync_mbps(mb=mb)}
+    across bench.py, bench_scaling.py and bench_scale32.py rows.
+    alu_mops is a median-of-3 as of r5-late (see alu_med): single
+    samples are bimodal-flicker-prone on this host."""
+    return {"alu_mops": alu_med(), "tmp_fsync_mbps": fsync_mbps(mb=mb)}
 
 
 if __name__ == "__main__":
