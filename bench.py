@@ -173,7 +173,46 @@ def main():
         times[name] = round(best, 3)
         _note(f"{name}: {times[name]}s")
 
-    best_of("conflate", lambda: conflate(a, b))
+    # conflate is the HEADLINE cold number and it runs FIRST, so it
+    # inherits whatever window the suite started in (measured: 6.24 s
+    # fired into a dirty opening window vs 3.7 s clean — a 68% penalty
+    # on the number every artifact leads with). Same discipline as the
+    # knn section: per-run ALU brackets, a bounded pre-run wait on a
+    # dirty probe (a probe poll costs ~0.1 s vs a 3-6 s wasted run),
+    # and a 3rd run only when no clean-bracketed run has landed yet
+    # and budget allows. min-of-runs semantics unchanged.
+    from window_probe import alu_med
+
+    conf_runs: list = []
+    conf_brackets: list = []
+    conf_wait_s = 0.0
+    _CONF_WAIT_CAP_S = 40.0
+    pre = round(alu_med(), 2)
+    for i in range(3):
+        if pre <= 24 and not over_budget():
+            w0 = time.time()
+            while time.time() - w0 < _CONF_WAIT_CAP_S - conf_wait_s:
+                time.sleep(2)
+                pre = round(alu_med(), 2)
+                if pre > 24:
+                    break
+            conf_wait_s += time.time() - w0
+        t0 = time.time()
+        run_noop(conflate(a, b))
+        conf_runs.append(round(time.time() - t0, 3))
+        post = round(alu_med(), 2)
+        conf_brackets.append([pre, post])
+        if i >= 1 and (
+            any(p > 24 and q > 24 for p, q in conf_brackets)
+            or over_budget()
+        ):
+            break
+        pre = post
+    times["conflate"] = round(min(conf_runs), 3)
+    _note(
+        f"conflate: {times['conflate']}s (runs {conf_runs}, alu brackets "
+        f"{conf_brackets}, waited {round(conf_wait_s, 1)}s)"
+    )
 
     # downstream queries reuse a cached match table, as a real
     # pipeline would (compute once, fan out)
@@ -655,6 +694,9 @@ def main():
             "min of 2 cold (caches released between runs); *_warm = "
             "repeat execution against a populated cache set"
         ),
+        "conflate_cold_runs": conf_runs,
+        "conflate_alu_brackets": conf_brackets,
+        "conflate_wait_s": round(conf_wait_s, 1),
         "knn_cold_runs": knn_cold_runs,
         "knn_alu_brackets": knn_brackets,
         "knn_wait_s": round(knn_wait_s, 1),
@@ -748,6 +790,7 @@ def main():
                 "throughput_features_per_sec": round(
                     n_features / times["conflate"], 1
                 ),
+                "conflate_alu_brackets": conf_brackets,
                 "knn_cold_runs": knn_cold_runs,
                 "knn_alu_brackets": knn_brackets,
                 "knn_warm": knn_warm,
