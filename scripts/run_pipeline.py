@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--resume", action="store_true",
                    help="skip stage-0 prepare and continue from lineage")
+    p.add_argument("--pmtiles", default=None, metavar="PATH",
+                   help="also assemble the PMTiles v3 serving archive "
+                        "(the reference's tippecanoe step, "
+                        "build_pmtiles.py:186-198, done natively)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -80,6 +84,26 @@ def main(argv=None):
         f"pipeline done: {done} buckets processed, {n} matches, "
         f"{time.time() - t0:.1f}s; lineage rows: {len(job.lineage())}"
     )
+
+    if args.pmtiles:
+        from overmatch_spark.operators.pmtiles import write_pmtiles
+        from overmatch_spark.operators.tiles import (
+            assign_match_ids,
+            assign_tiles,
+            auto_max_zoom,
+            density_drop,
+            tile_table,
+        )
+
+        m = job.result().select("osm_id", "overture_id", "lon", "lat")
+        zmax = auto_max_zoom(m)
+        m = assign_match_ids(m, num_partitions=args.n_buckets)
+        t = assign_tiles(m, zooms=tuple(range(10, zmax + 1, 2)))
+        kept = density_drop(t, max_per_tile=100_000)
+        pyr = tile_table(kept, m.select(
+            "match_id", "osm_id", "overture_id", "lon", "lat"))
+        summary = write_pmtiles(pyr, args.pmtiles)
+        print(f"pmtiles: {summary}")
 
 
 if __name__ == "__main__":
