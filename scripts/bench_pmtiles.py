@@ -38,14 +38,24 @@ def main():
 
     spark = get_spark("bench-pmtiles", cpus=CPUS, shuffle_partitions=CPUS)
     p0 = probe()
-    # archive the FULL b layer (every Overture-side point), not just
-    # the conflation matches — the scale-meaningful encode workload
+    # archive a FULL point layer (every Overture-side point), not
+    # just the conflation matches — the scale-meaningful encode
+    # workload. Same lineitem-keyed derivation as bench.py's scale
+    # rows: PMT_MULT=1 -> 600k points at sf0.1.
     from pyspark.sql import functions as F
 
     from overmatch_spark import demo
 
+    mult = int(os.environ.get("PMT_MULT", "1"))
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0"))
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        .select((F.col("k0") * F.lit(mult) + F.col("rep")).alias("k"))
+        .repartition(2 * CPUS)
+    )
     m = (
-        demo.spark_layer_b(spark, SF_DIR)
+        demo.spark_layer_b(spark, SF_DIR, None, "k", df=li)
         .select(
             F.lit(0).cast("long").alias("osm_id"),
             F.col("id").alias("overture_id"),
