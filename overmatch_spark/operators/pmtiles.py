@@ -447,14 +447,47 @@ def write_pmtiles(
     layer: str = "matches",
     extent: int = MVT_EXTENT,
 ) -> dict:
-    """Assemble a PMTiles v3 archive from a tile pyramid table.
+    """Assemble a vector (MVT) PMTiles v3 archive from a tile
+    pyramid table.  See ``_assemble_archive`` for the streaming
+    bound."""
+    enc = mvt_tiles(tile_tbl, layer=layer, extent=extent)
+    meta = {
+        "name": "overmatch_spark matches",
+        "format": "pbf",
+        "vector_layers": [
+            {
+                "id": layer,
+                "fields": {
+                    "osm_id": "Number",
+                    "overture_id": "String",
+                    "lon": "Number",
+                    "lat": "Number",
+                },
+            }
+        ],
+    }
+    return _assemble_archive(
+        enc, path, tile_type=_MVT, tile_compression=_GZIP, metadata=meta
+    )
+
+
+def _assemble_archive(
+    enc: DataFrame,
+    path: str,
+    tile_type: int,
+    tile_compression: int,
+    metadata: dict,
+) -> dict:
+    """Assemble a PMTiles v3 archive from an encoded-tile DataFrame
+    (tileid, z, x, y, data) — data bytes already tile-compressed (or
+    self-compressed, e.g. PNG, with tile_compression=1/none).
 
     Streams (tileid, blob) rows in tile-id order via
     ``toLocalIterator`` — driver memory is one blob + the directory
     (16 B/tile), not the pyramid.  Identical blobs are stored once
     (spec content dedup; addressed tiles > tile contents).  Returns
     the header summary for receipts/tests."""
-    enc = mvt_tiles(tile_tbl, layer=layer, extent=extent).orderBy("tileid")
+    enc = enc.orderBy("tileid")
 
     entries: list[tuple[int, int, int, int]] = []  # id, off, len, runlen
     seen: dict[bytes, tuple[int, int]] = {}
@@ -501,28 +534,11 @@ def write_pmtiles(
     b_minlat, b_maxlat = lat_of(maxy[z] + 1), lat_of(miny[z])
 
     root = _gz(_encode_directory(entries))
-    meta = _gz(
-        json.dumps(
-            {
-                "name": "overmatch_spark matches",
-                "format": "pbf",
-                "vector_layers": [
-                    {
-                        "id": layer,
-                        "minzoom": min_z,
-                        "maxzoom": max_z,
-                        "fields": {
-                            "osm_id": "Number",
-                            "overture_id": "String",
-                            "lon": "Number",
-                            "lat": "Number",
-                        },
-                    }
-                ],
-            },
-            sort_keys=True,
-        ).encode("utf-8")
-    )
+    metadata = dict(metadata)
+    for layer_meta in metadata.get("vector_layers", []):
+        layer_meta.setdefault("minzoom", min_z)
+        layer_meta.setdefault("maxzoom", max_z)
+    meta = _gz(json.dumps(metadata, sort_keys=True).encode("utf-8"))
     root_off = 127
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta)  # no leaf directories
@@ -544,8 +560,8 @@ def write_pmtiles(
         len(seen),  # tile contents (deduped blobs)
         1,  # clustered: written in ascending tileid order
         _GZIP,
-        _GZIP,
-        _MVT,
+        tile_compression,
+        tile_type,
         min_z,
         max_z,
         int(b_minlon * 1e7),
@@ -611,8 +627,9 @@ class PMTilesReader:
             self.max_zoom,
             *rest,
         ) = h
-        if internal_comp != _GZIP or tile_comp != _GZIP:
+        if internal_comp != _GZIP or tile_comp not in (1, _GZIP):
             raise ValueError("unsupported compression")
+        self.tile_compression = tile_comp
         if leaf_len:
             raise ValueError("leaf directories not supported")
         self.bounds = [v / 1e7 for v in rest[:4]]
@@ -625,12 +642,18 @@ class PMTilesReader:
         )
         self._raw = raw
 
-    def get_tile(self, z: int, x: int, y: int) -> dict | None:
+    def get_tile(self, z: int, x: int, y: int) -> dict | bytes | None:
+        """MVT archives: decoded layer dict.  Other tile types (e.g.
+        png): the tile-decompressed raw bytes."""
         tid = hilbert_tid(z, x, y)
         for eid, off, ln, rl in self.entries:
             if eid <= tid < eid + max(rl, 1):
                 blob = self._raw[
                     self._data_off + off : self._data_off + off + ln
                 ]
-                return mvt_decode(gzip.decompress(blob))
+                if self.tile_compression == _GZIP:
+                    blob = gzip.decompress(blob)
+                if self.tile_type == _MVT:
+                    return mvt_decode(blob)
+                return blob
         return None

@@ -1,0 +1,148 @@
+"""Raster tile pyramid — the raster half of the north star's
+"raster<->vector tile assignment".
+
+The vector half (operators/pmtiles.py) archives per-tile MVT feature
+geometry; this module rasterizes the SAME point layer into per-tile
+density images: each (z, x, y) tile becomes a size x size 8-bit
+grayscale PNG whose pixel value is the (clamped) point count falling
+in that pixel.  Rasterization is distributed — `applyInPandas` over
+the tile key, one `numpy.bincount` per tile — and the archive is the
+same streaming PMTiles v3 assembly with `tile_type=png`,
+`tile_compression=none` (PNG is already DEFLATE-compressed; spec
+forbids double-tagging).
+
+PNG bytes come from the pure-stdlib encoder (kernels/png.py) — a
+real spec-correct codec path, not a sandbox stub: PNG's only
+compression is zlib.
+
+Reference anchor: the reference serves its matches as a tile archive
+(`scripts/build_pmtiles.py:186-198`); a density raster is the
+standard companion artifact for 10^12-point layers where vector
+tiles above the density cap stop being renderable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from overmatch_spark.operators.pmtiles import _assemble_archive, hilbert_tid
+
+_PNG = 2  # PMTiles v3 tile-type enum
+_NONE = 1  # PMTiles v3 compression enum: none
+
+_RASTER_SCHEMA = StructType(
+    [
+        StructField("tileid", LongType()),
+        StructField("z", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+
+def raster_tiles(
+    points: DataFrame,
+    zooms=(10, 12),
+    size: int = 256,
+    clamp: int = 255,
+) -> DataFrame:
+    """Point layer (lon, lat) -> one grayscale density PNG per
+    occupied tile at each zoom.  Pixel value = min(count, clamp).
+
+    Distributed shape: ONE projection computes (z, x, y, px, py) per
+    point per zoom (pure Catalyst — floor math, no UDF), then one
+    hash exchange on the tile key feeds `applyInPandas`, where a
+    single `bincount` per tile builds the size^2 histogram and the
+    stdlib PNG encoder emits bytes.  Pixels never leave their tile's
+    partition; the driver sees nothing."""
+    per_zoom = []
+    for z in zooms:
+        n = float(1 << z)
+        # EXACT same expression text as expressions.tile_x/tile_y so
+        # raster tiles align bit-for-bit with the vector assignment
+        fx = (F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+        rad = F.col("lat") * F.lit(math.pi) / F.lit(180.0)
+        fy = (
+            (F.lit(1.0)
+             - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+            / F.lit(2.0)
+            * F.lit(n)
+        )
+        x = F.least(F.lit((1 << z) - 1), F.greatest(F.lit(0), F.floor(fx))).cast(
+            "int"
+        )
+        y = F.least(F.lit((1 << z) - 1), F.greatest(F.lit(0), F.floor(fy))).cast(
+            "int"
+        )
+        px = F.least(
+            F.lit(size - 1),
+            F.greatest(F.lit(0), F.floor((fx - x) * size)),
+        ).cast("int")
+        py = F.least(
+            F.lit(size - 1),
+            F.greatest(F.lit(0), F.floor((fy - y) * size)),
+        ).cast("int")
+        per_zoom.append(
+            points.select(
+                F.lit(z).alias("z"),
+                x.alias("x"),
+                y.alias("y"),
+                (px + py * size).alias("pix"),
+            )
+        )
+    pts = per_zoom[0]
+    for df in per_zoom[1:]:
+        pts = pts.unionByName(df)
+
+    def rasterize(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from overmatch_spark.kernels.png import png_encode_gray
+
+        z = int(pdf["z"].iloc[0])
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        counts = np.bincount(
+            pdf["pix"].to_numpy(), minlength=size * size
+        ).reshape(size, size)
+        img = np.minimum(counts, clamp).astype(np.uint8)
+        return pd.DataFrame(
+            [(hilbert_tid(z, x, y), z, x, y, png_encode_gray(img))],
+            columns=["tileid", "z", "x", "y", "data"],
+        )
+
+    return pts.groupBy("z", "x", "y").applyInPandas(
+        rasterize, schema=_RASTER_SCHEMA
+    )
+
+
+def write_raster_pmtiles(
+    points: DataFrame,
+    path: str,
+    zooms=(10, 12),
+    size: int = 256,
+    clamp: int = 255,
+) -> dict:
+    """Rasterize and archive in one call: PMTiles v3 with
+    tile_type=png, tile_compression=none."""
+    enc = raster_tiles(points, zooms=zooms, size=size, clamp=clamp)
+    meta = {
+        "name": "overmatch_spark density raster",
+        "format": "png",
+        "pixel_meaning": f"point count clamped at {clamp}",
+        "tile_size": size,
+    }
+    return _assemble_archive(
+        enc, path, tile_type=_PNG, tile_compression=_NONE, metadata=meta
+    )
