@@ -148,6 +148,17 @@ def main():
     )
     sections.append(("PQ ADC top-k (codes-only candidate join)", pq_plan, None))
 
+    # 9. raster tile pyramid: the whole multi-zoom rasterization must
+    # cost ONE hash exchange (the groupBy(z,x,y) feeding
+    # applyInPandas) and ONE Python eval node (the per-tile bincount
+    # + PNG encode); the per-point tile/pixel math stays in Catalyst
+    from overmatch_spark.operators.raster import raster_tiles
+
+    raster_plan = grab_plan(
+        raster_tiles(b.select("lon", "lat"), zooms=(10, 12))
+    )
+    sections.append(("Raster tile pyramid (density PNGs)", raster_plan, None))
+
     checks = []
 
     def check(name, cond):
@@ -235,6 +246,14 @@ def main():
         and all(
             "codes#" in seg and "cv#" not in seg for seg in adc_inputs
         ),
+    )
+
+    check(
+        "raster pyramid: ONE hash exchange, ONE Python group-map node",
+        len(re.findall(r"\(\d+\) Exchange", raster_plan)) == 1
+        and "hashpartitioning(z#" in raster_plan
+        and len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", raster_plan)) == 1
+        and "CartesianProduct" not in raster_plan,
     )
 
     with open("PLANS.md", "w") as f:

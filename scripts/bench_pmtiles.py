@@ -100,6 +100,24 @@ def main():
         n_feats += len(tile["matches"]["features"])
     verify_s = round(time.time() - t0, 3)
     ok = rd.n_entries == len(want) and n_feats == sum(want.values())
+
+    # raster half: density PNGs over the same points
+    from overmatch_spark.operators.raster import write_raster_pmtiles
+
+    t0 = time.time()
+    rsum = write_raster_pmtiles(
+        m.select("lon", "lat"), "/tmp/bench_density.pmtiles", zooms=(10, 12)
+    )
+    raster_s = round(time.time() - t0, 3)
+    rrd = PMTilesReader("/tmp/bench_density.pmtiles")
+    # sample-verify: first/last entries decode to size^2 grayscale
+    from overmatch_spark.kernels.png import png_decode_gray
+
+    sample_ok = True
+    for _, off, ln, _ in (rrd.entries[0], rrd.entries[-1]):
+        blob = rrd._raw[rrd._data_off + off : rrd._data_off + off + ln]
+        sample_ok &= png_decode_gray(blob).shape == (256, 256)
+    ok = ok and sample_ok and rrd.tile_type == 2
     p1 = probe()
 
     print(
@@ -112,6 +130,10 @@ def main():
                 "build_s": build_s,
                 "verify_s": verify_s,
                 "features_per_sec": round(n_feats / build_s, 1),
+                "raster_tiles": rsum["tiles"],
+                "raster_bytes": rsum["bytes"],
+                "raster_s": raster_s,
+                "raster_points_per_sec": round(n_matches * 2 / raster_s, 1),
                 "verified": ok,
                 "probe_before": p0,
                 "probe_after": p1,
