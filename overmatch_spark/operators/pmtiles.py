@@ -594,6 +594,39 @@ def _assemble_archive(
     }
 
 
+def matches_to_pmtiles(
+    matches: DataFrame,
+    path: str,
+    zooms: tuple | None = None,
+    max_per_tile: int = 100_000,
+    num_partitions: int | None = None,
+    layer: str = "matches",
+) -> dict:
+    """One-call glue: conflation matches (osm_id, overture_id, lon,
+    lat, ...) -> stable ids -> multi-zoom assignment -> density drop
+    -> tile table -> PMTiles v3 archive.  ``zooms=None`` picks the
+    top zoom from the feature count (W4, tippecanoe ``-zg``) and
+    emits even zooms from 10 up to it."""
+    from overmatch_spark.operators.tiles import (
+        assign_match_ids,
+        assign_tiles,
+        auto_max_zoom,
+        density_drop,
+        tile_table,
+    )
+
+    m = matches.select("osm_id", "overture_id", "lon", "lat")
+    if zooms is None:
+        zooms = tuple(range(10, auto_max_zoom(m) + 1, 2))
+    ids = assign_match_ids(m, num_partitions=num_partitions)
+    t = assign_tiles(ids, zooms=zooms)
+    kept = density_drop(t, max_per_tile=max_per_tile)
+    pyr = tile_table(
+        kept, ids.select("match_id", "osm_id", "overture_id", "lon", "lat")
+    )
+    return write_pmtiles(pyr, path, layer=layer)
+
+
 class PMTilesReader:
     """Spec-driven reader for roundtrip tests (root directory only,
     matching what the writer emits)."""

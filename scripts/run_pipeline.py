@@ -86,23 +86,11 @@ def main(argv=None):
     )
 
     if args.pmtiles:
-        from overmatch_spark.operators.pmtiles import write_pmtiles
-        from overmatch_spark.operators.tiles import (
-            assign_match_ids,
-            assign_tiles,
-            auto_max_zoom,
-            density_drop,
-            tile_table,
-        )
+        from overmatch_spark.operators.pmtiles import matches_to_pmtiles
 
-        m = job.result().select("osm_id", "overture_id", "lon", "lat")
-        zmax = auto_max_zoom(m)
-        m = assign_match_ids(m, num_partitions=args.n_buckets)
-        t = assign_tiles(m, zooms=tuple(range(10, zmax + 1, 2)))
-        kept = density_drop(t, max_per_tile=100_000)
-        pyr = tile_table(kept, m.select(
-            "match_id", "osm_id", "overture_id", "lon", "lat"))
-        summary = write_pmtiles(pyr, args.pmtiles)
+        summary = matches_to_pmtiles(
+            job.result(), args.pmtiles, num_partitions=args.n_buckets
+        )
         print(f"pmtiles: {summary}")
 
 

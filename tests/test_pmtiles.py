@@ -180,6 +180,34 @@ class TestArchive:
         write_pmtiles(pyramid, p2)
         assert open(p1, "rb").read() == open(p2, "rb").read()
 
+    def test_matches_to_pmtiles_one_call(self, spark, tmp_path):
+        """The pipeline glue: raw matches -> archive, auto zoom."""
+        from overmatch_spark.operators.pmtiles import (
+            matches_to_pmtiles,
+        )
+
+        rows = [
+            (100 + i, f"ov{i}", -71.0 + i * 0.01, 41.0 + i * 0.01)
+            for i in range(30)
+        ]
+        m = spark.createDataFrame(
+            rows, "osm_id long, overture_id string, lon double, lat double"
+        )
+        path = str(tmp_path / "glue.pmtiles")
+        summary = matches_to_pmtiles(m, path, num_partitions=4)
+        rd = PMTilesReader(path)
+        assert rd.n_entries == summary["tiles"] > 0
+        assert rd.min_zoom == 10  # auto zoom: 30 features -> z10 only
+        # every archived feature decodes; count equals input rows
+        n = 0
+        for tid, off, ln, _ in rd.entries:
+            blob = rd._raw[rd._data_off + off : rd._data_off + off + ln]
+            import gzip as _g
+
+            tile = mvt_decode(_g.decompress(blob))
+            n += len(tile["matches"]["features"])
+        assert n == 30
+
     def test_entries_sorted_and_clustered(self, spark, pyramid, tmp_path):
         path = str(tmp_path / "c.pmtiles")
         write_pmtiles(pyramid, path)
