@@ -47,15 +47,28 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "qlossy":
         q = QLOSSY_STEP
         return ((pixels // q) * q + q // 2).astype(np.uint8).tobytes()
+    if fmt == "png":
+        # REAL lossless codec, not a stub: PNG's only compression is
+        # DEFLATE (stdlib zlib) — see kernels/png.py
+        from overmatch_spark.kernels.png import png_encode_rgb
+
+        return png_encode_rgb(pixels)
     raise NotImplementedError(
-        f"fmt={fmt!r}: real image codecs (jpeg/webp) are stubbed in "
-        "this sandbox; only 'raw' and 'qlossy' are implemented"
+        f"fmt={fmt!r}: DCT codecs (jpeg/webp) are stubbed in this "
+        "sandbox; 'raw', 'qlossy' and real 'png' are implemented"
     )
 
 
 def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt in ("raw", "qlossy"):
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        from overmatch_spark.kernels.png import png_decode_rgb
+
+        px = png_decode_rgb(buf)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"png dims {px.shape} != metadata ({h},{w},3)")
+        return px
     raise NotImplementedError(f"fmt={fmt!r} not decodable in sandbox")
 
 

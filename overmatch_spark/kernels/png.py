@@ -42,8 +42,20 @@ def png_encode_gray(arr: np.ndarray) -> bytes:
     )
 
 
-def png_decode_gray(data: bytes) -> np.ndarray:
-    """Inverse of png_encode_gray (filter-0 grayscale only)."""
+def png_encode_rgb(arr: np.ndarray) -> bytes:
+    """8-bit truecolor (RGB) PNG, filter 0 rows, fixed zlib level 6."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected a (h, w, 3) uint8 array")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # truecolor
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    idat = zlib.compress(raw, 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(
+        b"IEND", b""
+    )
+
+
+def _png_decode(data: bytes, want_color: int) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     i = 8
@@ -56,18 +68,32 @@ def png_decode_gray(data: bytes) -> np.ndarray:
         i += 12 + ln
         if typ == b"IHDR":
             w, h, depth, color, *_ = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or color != 0:
-                raise ValueError("only 8-bit grayscale supported")
+            if depth != 8 or color != want_color:
+                raise ValueError(
+                    f"only 8-bit color-type-{want_color} supported here"
+                )
         elif typ == b"IDAT":
             idat += payload
         elif typ == b"IEND":
             break
     raw = zlib.decompress(idat)
-    stride = w + 1
+    ch = 3 if want_color == 2 else 1
+    stride = w * ch + 1
     rows = []
     for r in range(h):
         line = raw[r * stride : (r + 1) * stride]
         if line[0] != 0:
             raise ValueError("only filter type 0 supported")
         rows.append(np.frombuffer(line[1:], dtype=np.uint8))
-    return np.stack(rows)
+    out = np.stack(rows)
+    return out.reshape(h, w, 3) if ch == 3 else out
+
+
+def png_decode_gray(data: bytes) -> np.ndarray:
+    """Inverse of png_encode_gray (filter-0 grayscale only)."""
+    return _png_decode(data, want_color=0)
+
+
+def png_decode_rgb(data: bytes) -> np.ndarray:
+    """Inverse of png_encode_rgb (filter-0 truecolor only)."""
+    return _png_decode(data, want_color=2)

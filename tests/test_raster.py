@@ -26,6 +26,19 @@ class TestPng:
         with pytest.raises(ValueError):
             png_encode_gray(np.zeros((4, 4), dtype=np.int32))
 
+    def test_rgb_roundtrip_and_image_codec_path(self):
+        from overmatch_spark.images import decode, encode
+        from overmatch_spark.kernels.png import (
+            png_decode_rgb,
+            png_encode_rgb,
+        )
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode_rgb(png_encode_rgb(px)), px)
+        # the image pipeline's fmt="png" is the same real codec
+        assert np.array_equal(decode(encode(px, "png"), 9, 12, "png"), px)
+
 
 def _ref_raster(points, z, size=256, clamp=255):
     """Independent numpy rasterizer (driver-side oracle)."""
