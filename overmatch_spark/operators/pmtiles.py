@@ -27,10 +27,10 @@ Both formats are implemented from their public specifications:
 Scale bound: a PMTiles archive is ONE file by construction (same as
 tippecanoe's output), so assembly is inherently single-writer; the
 distributed part is everything upstream (tile assignment, density
-drop, per-tile MVT encode).  Archives beyond a root directory's
-practical entry budget (~10^4+ tiles) would add leaf directories —
-documented, not implemented (our pyramids are density-dropped well
-below that; the spec keeps the header/dir layout identical).
+drop, per-tile MVT encode).  Past ~16k tiles the writer splits the
+directory into fixed-size LEAF directories (run_length=0 pointer
+entries in the root, per spec) so any single directory fetch stays
+bounded at 10^12-tile scale; the reader follows one leaf level.
 """
 
 from __future__ import annotations
@@ -327,6 +327,41 @@ def _encode_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
     return bytes(out)
 
 
+# Root directories above this many entries are split into fixed-size
+# leaf directories (spec: keep the root small enough to fetch with the
+# header in one request; 16,384-entry leaves keep any single directory
+# fetch bounded at ~10^12-tile scale while the root stays tiny — one
+# entry per leaf).
+_LEAF_SPLIT_THRESHOLD = 16384
+_LEAF_SIZE = 16384
+
+
+def _build_directories(
+    entries: list[tuple[int, int, int, int]],
+    split_threshold: int = _LEAF_SPLIT_THRESHOLD,
+    leaf_size: int = _LEAF_SIZE,
+) -> tuple[bytes, bytes, int]:
+    """(gzip'd root dir, concatenated gzip'd leaf dirs, n_leaves).
+
+    Small archives keep every tile entry in the root (n_leaves=0).
+    Past ``split_threshold`` entries, tile entries are chunked into
+    ``leaf_size`` leaves and the root holds ONE entry per leaf — the
+    spec's run_length=0 pointer form: tile_id = first id covered,
+    offset/length = the leaf's byte span in the leaf section."""
+    if len(entries) <= split_threshold:
+        return _gz(_encode_directory(entries)), b"", 0
+    root_entries = []
+    leaf_bytes = bytearray()
+    n_leaves = 0
+    for i in range(0, len(entries), leaf_size):
+        chunk = entries[i : i + leaf_size]
+        blob = _gz(_encode_directory(chunk))
+        root_entries.append((chunk[0][0], len(leaf_bytes), len(blob), 0))
+        leaf_bytes += blob
+        n_leaves += 1
+    return _gz(_encode_directory(root_entries)), bytes(leaf_bytes), n_leaves
+
+
 def _decode_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
     n, i = _read_varint(buf, 0)
     ids, rls, lens, offs = [], [], [], []
@@ -477,6 +512,7 @@ def _assemble_archive(
     tile_type: int,
     tile_compression: int,
     metadata: dict,
+    leaf_split: int | None = None,
 ) -> dict:
     """Assemble a PMTiles v3 archive from an encoded-tile DataFrame
     (tileid, z, x, y, data) — data bytes already tile-compressed (or
@@ -533,7 +569,12 @@ def _assemble_archive(
     b_minlon, b_maxlon = lon_of(minx[z]), lon_of(maxx[z] + 1)
     b_minlat, b_maxlat = lat_of(maxy[z] + 1), lat_of(miny[z])
 
-    root = _gz(_encode_directory(entries))
+    if leaf_split is None:
+        root, leaves, n_leaves = _build_directories(entries)
+    else:
+        root, leaves, n_leaves = _build_directories(
+            entries, split_threshold=leaf_split, leaf_size=leaf_split
+        )
     metadata = dict(metadata)
     for layer_meta in metadata.get("vector_layers", []):
         layer_meta.setdefault("minzoom", min_z)
@@ -541,8 +582,8 @@ def _assemble_archive(
     meta = _gz(json.dumps(metadata, sort_keys=True).encode("utf-8"))
     root_off = 127
     meta_off = root_off + len(root)
-    leaf_off = meta_off + len(meta)  # no leaf directories
-    data_off = leaf_off
+    leaf_off = meta_off + len(meta)
+    data_off = leaf_off + len(leaves)
     header = struct.pack(
         _HEADER_FMT,
         b"PMTiles",
@@ -552,7 +593,7 @@ def _assemble_archive(
         meta_off,
         len(meta),
         leaf_off,
-        0,
+        len(leaves),
         data_off,
         off,
         len(entries),  # addressed tiles (run lengths are all 1)
@@ -576,6 +617,7 @@ def _assemble_archive(
         f.write(header)
         f.write(root)
         f.write(meta)
+        f.write(leaves)
         with open(tmp, "rb") as td:
             while True:
                 chunk = td.read(1 << 20)
@@ -587,7 +629,8 @@ def _assemble_archive(
         "path": path,
         "tiles": len(entries),
         "contents": len(seen),
-        "bytes": 127 + len(root) + len(meta) + off,
+        "leaf_dirs": n_leaves,
+        "bytes": 127 + len(root) + len(meta) + len(leaves) + off,
         "min_zoom": min_z,
         "max_zoom": max_z,
         "bounds": [b_minlon, b_minlat, b_maxlon, b_maxlat],
@@ -628,8 +671,9 @@ def matches_to_pmtiles(
 
 
 class PMTilesReader:
-    """Spec-driven reader for roundtrip tests (root directory only,
-    matching what the writer emits)."""
+    """Spec-driven reader for roundtrip tests: root directory plus
+    one level of leaf directories (run_length=0 pointer entries),
+    matching what the writer emits."""
 
     def __init__(self, path: str):
         self.path = path
@@ -663,8 +707,7 @@ class PMTilesReader:
         if internal_comp != _GZIP or tile_comp not in (1, _GZIP):
             raise ValueError("unsupported compression")
         self.tile_compression = tile_comp
-        if leaf_len:
-            raise ValueError("leaf directories not supported")
+        self._leaf_off, self._leaf_len = _leaf_off, leaf_len
         self.bounds = [v / 1e7 for v in rest[:4]]
         self._data_off, self._data_len = data_off, data_len
         self.entries = _decode_directory(
@@ -675,18 +718,64 @@ class PMTilesReader:
         )
         self._raw = raw
 
+    def iter_tile_entries(self):
+        """Yield every TILE entry (tile_id, offset, length,
+        run_length) — transparently expanding leaf pointers."""
+        for e in self.entries:
+            if e[3] == 0:
+                _, loff, lln, _ = e
+                leaf = _decode_directory(
+                    gzip.decompress(
+                        self._raw[
+                            self._leaf_off
+                            + loff : self._leaf_off
+                            + loff
+                            + lln
+                        ]
+                    )
+                )
+                yield from leaf
+            else:
+                yield e
+
+    def _find(self, entries, tid):
+        """Spec search: the last entry with id <= tid governs tid —
+        a run_length>=1 entry matches if tid falls in its run; a
+        run_length==0 entry is a leaf pointer that covers everything
+        up to the next root entry."""
+        import bisect
+
+        i = bisect.bisect_right([e[0] for e in entries], tid) - 1
+        if i < 0:
+            return None
+        eid, off, ln, rl = entries[i]
+        if rl == 0:
+            return entries[i]
+        return entries[i] if eid <= tid < eid + rl else None
+
     def get_tile(self, z: int, x: int, y: int) -> dict | bytes | None:
         """MVT archives: decoded layer dict.  Other tile types (e.g.
         png): the tile-decompressed raw bytes."""
         tid = hilbert_tid(z, x, y)
-        for eid, off, ln, rl in self.entries:
-            if eid <= tid < eid + max(rl, 1):
-                blob = self._raw[
-                    self._data_off + off : self._data_off + off + ln
-                ]
-                if self.tile_compression == _GZIP:
-                    blob = gzip.decompress(blob)
-                if self.tile_type == _MVT:
-                    return mvt_decode(blob)
-                return blob
-        return None
+        hit = self._find(self.entries, tid)
+        if hit is not None and hit[3] == 0:  # leaf pointer
+            _, loff, lln, _ = hit
+            leaf = _decode_directory(
+                gzip.decompress(
+                    self._raw[
+                        self._leaf_off + loff : self._leaf_off + loff + lln
+                    ]
+                )
+            )
+            hit = self._find(leaf, tid)
+            if hit is not None and hit[3] == 0:
+                raise ValueError("nested leaf directories unsupported")
+        if hit is None:
+            return None
+        _, off, ln, _ = hit
+        blob = self._raw[self._data_off + off : self._data_off + off + ln]
+        if self.tile_compression == _GZIP:
+            blob = gzip.decompress(blob)
+        if self.tile_type == _MVT:
+            return mvt_decode(blob)
+        return blob

@@ -94,7 +94,7 @@ def main():
     n_feats = 0
     with open(out, "rb") as f:
         raw = f.read()
-    for tid, off, ln, _ in rd.entries:
+    for tid, off, ln, _ in rd.iter_tile_entries():
         blob = raw[rd._data_off + off : rd._data_off + off + ln]
         tile = mvt_decode(_gz.decompress(blob))
         n_feats += len(tile["matches"]["features"])
@@ -114,7 +114,8 @@ def main():
     from overmatch_spark.kernels.png import png_decode_gray
 
     sample_ok = True
-    for _, off, ln, _ in (rrd.entries[0], rrd.entries[-1]):
+    r_entries = list(rrd.iter_tile_entries())
+    for _, off, ln, _ in (r_entries[0], r_entries[-1]):
         blob = rrd._raw[rrd._data_off + off : rrd._data_off + off + ln]
         sample_ok &= png_decode_gray(blob).shape == (256, 256)
     ok = ok and sample_ok and rrd.tile_type == 2

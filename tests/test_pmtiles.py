@@ -208,6 +208,39 @@ class TestArchive:
             n += len(tile["matches"]["features"])
         assert n == 30
 
+    def test_leaf_directories(self, spark, pyramid, tmp_path):
+        """Forced leaf split (leaf_split=2): every tile must still be
+        findable through the root's run_length=0 pointer entries, and
+        iter_tile_entries must expand to the same tile-entry set as an
+        unsplit archive."""
+        from overmatch_spark.operators.pmtiles import (
+            _MVT,
+            _GZIP,
+            _assemble_archive,
+            mvt_tiles,
+        )
+
+        enc = mvt_tiles(pyramid).persist()
+        flat_p = str(tmp_path / "flat.pmtiles")
+        leaf_p = str(tmp_path / "leaf.pmtiles")
+        meta = {"name": "t", "format": "pbf", "vector_layers": []}
+        _assemble_archive(enc, flat_p, _MVT, _GZIP, meta)
+        summary = _assemble_archive(
+            enc, leaf_p, _MVT, _GZIP, meta, leaf_split=2
+        )
+        enc.unpersist()
+        flat, leafy = PMTilesReader(flat_p), PMTilesReader(leaf_p)
+        assert summary["leaf_dirs"] > 1
+        assert all(e[3] == 0 for e in leafy.entries)  # root = pointers
+        assert list(leafy.iter_tile_entries()) == list(
+            flat.iter_tile_entries()
+        )
+        for r in pyramid.select("z", "x", "y").collect():
+            a = flat.get_tile(r["z"], r["x"], r["y"])
+            b = leafy.get_tile(r["z"], r["x"], r["y"])
+            assert a == b and a is not None
+        assert leafy.get_tile(10, 0, 0) is None
+
     def test_entries_sorted_and_clustered(self, spark, pyramid, tmp_path):
         path = str(tmp_path / "c.pmtiles")
         write_pmtiles(pyramid, path)
