@@ -35,6 +35,9 @@ def main(argv=None):
                    help="also assemble the PMTiles v3 serving archive "
                         "(the reference's tippecanoe step, "
                         "build_pmtiles.py:186-198, done natively)")
+    p.add_argument("--raster-pmtiles", default=None, metavar="PATH",
+                   help="also assemble the density-raster PMTiles "
+                        "(tile_type=png, stdlib PNG codec)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -92,6 +95,14 @@ def main(argv=None):
             job.result(), args.pmtiles, num_partitions=args.n_buckets
         )
         print(f"pmtiles: {summary}")
+
+    if args.raster_pmtiles:
+        from overmatch_spark.operators.raster import write_raster_pmtiles
+
+        summary = write_raster_pmtiles(
+            job.result().select("lon", "lat"), args.raster_pmtiles
+        )
+        print(f"raster pmtiles: {summary}")
 
 
 if __name__ == "__main__":
