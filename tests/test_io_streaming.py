@@ -77,6 +77,63 @@ class TestGeoJsonScan:
         assert got["lon"].tolist() == [-77.01, -77.02]
 
 
+class TestSparqlResultsScan:
+    def test_w3c_results_document(self, spark, tmp_path):
+        """S3 offline half: the reference's QLever post-processing
+        (get_osm_ids.py:88-116) over a standard SPARQL results JSON —
+        prefix strip, POINT WKT parse, OPTIONAL housenumber, and the
+        drop of bindings with unbound required vars."""
+        from overmatch_spark.operators.io import read_sparql_results
+
+        def binding(osm, name=None, hn=None, centroid=None):
+            b = {"id": {"type": "uri", "value": osm}}
+            if name is not None:
+                b["name"] = {"type": "literal", "value": name}
+            if hn is not None:
+                b["housenumber"] = {"type": "literal", "value": hn}
+            if centroid is not None:
+                b["centroid"] = {
+                    "type": "literal",
+                    "value": f"POINT({centroid[0]} {centroid[1]})",
+                }
+            return b
+
+        doc = {
+            "head": {"vars": ["id", "name", "housenumber", "centroid"]},
+            "results": {
+                "bindings": [
+                    binding(
+                        "https://www.openstreetmap.org/node/101",
+                        "Cafe A", "12", (-77.01, 38.91),
+                    ),
+                    # OPTIONAL housenumber unbound
+                    binding(
+                        "https://www.openstreetmap.org/way/202",
+                        "Bar B", None, (-77.02, 38.92),
+                    ),
+                    # unbound centroid -> dropped (reference guard)
+                    binding(
+                        "https://www.openstreetmap.org/node/303", "Pub C"
+                    ),
+                ]
+            },
+        }
+        p = tmp_path / "sparql.json"
+        p.write_text(json.dumps(doc))
+        got = (
+            read_sparql_results(spark, str(p))
+            .toPandas()
+            .sort_values("osm_id")
+            .reset_index(drop=True)
+        )
+        assert got["osm_id"].tolist() == ["node/101", "way/202"]
+        assert got["name"].tolist() == ["Cafe A", "Bar B"]
+        assert got["housenumber"].tolist()[0] == "12"
+        assert got["housenumber"].isna().tolist() == [False, True]
+        assert got["lon"].tolist() == [-77.01, -77.02]
+        assert got["lat"].tolist() == [38.91, 38.92]
+
+
 class TestStreamingIngest:
     def test_available_now_merge_and_resume(self, spark, tmp_path):
         from overmatch_spark.streaming.ingest import run_seen_ingest
