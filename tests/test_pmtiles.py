@@ -241,6 +241,36 @@ class TestArchive:
             assert a == b and a is not None
         assert leafy.get_tile(10, 0, 0) is None
 
+    def test_publish_local_store_idempotent(self, spark, pyramid, tmp_path):
+        """K6 publish semantics on the filesystem backend: headers
+        sidecar, md5 etag, and idempotent re-publish (skip on same
+        bytes, re-put on changed bytes)."""
+        from overmatch_spark.operators.publish import (
+            PMTILES_HEADERS,
+            LocalObjectStore,
+            publish_pmtiles,
+        )
+
+        path = str(tmp_path / "pub.pmtiles")
+        write_pmtiles(pyramid, path)
+        store = LocalObjectStore(str(tmp_path / "store"))
+        r1 = publish_pmtiles(path, "tiles-bucket", store=store)
+        assert not r1["skipped"]
+        head = store.head("tiles-bucket", "pub.pmtiles")
+        assert head["ContentType"] == "application/vnd.pmtiles"
+        assert head["CacheControl"] == PMTILES_HEADERS["CacheControl"]
+        assert head["ETag"] == r1["etag"]
+        # stored bytes identical to the archive
+        obj = tmp_path / "store" / "tiles-bucket" / "pub.pmtiles"
+        assert obj.read_bytes() == open(path, "rb").read()
+        # same bytes -> skipped; changed bytes -> re-put, new etag
+        r2 = publish_pmtiles(path, "tiles-bucket", store=store)
+        assert r2["skipped"] and r2["etag"] == r1["etag"]
+        with open(path, "ab") as f:
+            f.write(b"x")
+        r3 = publish_pmtiles(path, "tiles-bucket", store=store)
+        assert not r3["skipped"] and r3["etag"] != r1["etag"]
+
     def test_entries_sorted_and_clustered(self, spark, pyramid, tmp_path):
         path = str(tmp_path / "c.pmtiles")
         write_pmtiles(pyramid, path)
