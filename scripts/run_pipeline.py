@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--raster-pmtiles", default=None, metavar="PATH",
                    help="also assemble the density-raster PMTiles "
                         "(tile_type=png, stdlib PNG codec)")
+    p.add_argument("--publish", default=None, metavar="BUCKET[:KEY]",
+                   help="publish the --pmtiles archive (K6 headers, "
+                        "etag-idempotent). Uses S3 when boto3 is "
+                        "available, else set --publish-root for the "
+                        "filesystem store")
+    p.add_argument("--publish-root", default=None, metavar="DIR",
+                   help="filesystem object-store root for --publish")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -103,6 +110,21 @@ def main(argv=None):
             job.result().select("lon", "lat"), args.raster_pmtiles
         )
         print(f"raster pmtiles: {summary}")
+
+    if args.publish:
+        from overmatch_spark.operators.publish import (
+            LocalObjectStore,
+            publish_pmtiles,
+        )
+
+        if not args.pmtiles:
+            raise SystemExit("--publish requires --pmtiles")
+        bucket, _, key = args.publish.partition(":")
+        store = (
+            LocalObjectStore(args.publish_root) if args.publish_root else None
+        )
+        r = publish_pmtiles(args.pmtiles, bucket, key or None, store=store)
+        print(f"published: {r}")
 
 
 if __name__ == "__main__":
