@@ -4,15 +4,21 @@ The input table carries image payloads as opaque ``binary``:
   images(image_id string, bytes binary, w int, h int, fmt string,
          caption string, phash int64)
 
-No image libraries exist in this sandbox (no Pillow), so the codec is
-a deterministic numpy one (FIXTURES.md §1):
+No image libraries exist in this sandbox (no Pillow), so the codecs
+are implemented here (FIXTURES.md §1):
   - ``raw``     row-major h*w*3 uint8, exact.
   - ``qlossy``  uniform quantization with step q=4 (values (p//4)*4+2,
                 max abs error 2 -> PSNR >= 20*log10(255/2) ~ 42.1 dB).
+  - ``png``     REAL lossless PNG (stdlib zlib DEFLATE) — kernels/png.py.
+  - ``jpeg``    REAL baseline JFIF (8x8 DCT + Annex-K quant/Huffman,
+                pure numpy) — kernels/jpeg.py. Encoded at quality 98
+                so even the seeded-noise fixtures (the DCT worst
+                case) clear the 40 dB sink invariant.
 
-A real JPEG/WebP decode would slot into decode_batch() unchanged — the
-Spark-side plumbing (binary column, Arrow batches via mapInPandas,
-payload kept out of shuffles) is the real, tested part.
+Only webp remains stubbed (no spec-simple pure-numpy path: VP8 intra
+prediction + boolean arithmetic coding). The Spark-side plumbing
+(binary column, Arrow batches via mapInPandas, payload kept out of
+shuffles) is identical for all formats.
 
 Per-row invariant at every sink (north rule): decoded pixels allclose
 vs the original (PSNR >= 40 dB for lossy) AND caption equality.
@@ -53,9 +59,17 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from overmatch_spark.kernels.png import png_encode_rgb
 
         return png_encode_rgb(pixels)
+    if fmt == "jpeg":
+        # REAL DCT codec, not a stub: baseline JFIF (Annex-K tables,
+        # 8x8 DCT, canonical Huffman) in pure numpy — kernels/jpeg.py.
+        # Quality 98 because the fixture corpus is seeded noise (the
+        # DCT worst case) and the sink invariant is PSNR >= 40 dB.
+        from overmatch_spark.kernels.jpeg import jpeg_encode_rgb
+
+        return jpeg_encode_rgb(pixels, quality=98)
     raise NotImplementedError(
-        f"fmt={fmt!r}: DCT codecs (jpeg/webp) are stubbed in this "
-        "sandbox; 'raw', 'qlossy' and real 'png' are implemented"
+        f"fmt={fmt!r}: webp stays stubbed in this sandbox; 'raw', "
+        "'qlossy', real 'png' and real baseline 'jpeg' are implemented"
     )
 
 
@@ -68,6 +82,13 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         px = png_decode_rgb(buf)
         if px.shape != (h, w, 3):
             raise ValueError(f"png dims {px.shape} != metadata ({h},{w},3)")
+        return px
+    if fmt == "jpeg":
+        from overmatch_spark.kernels.jpeg import jpeg_decode_rgb
+
+        px = jpeg_decode_rgb(buf)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"jpeg dims {px.shape} != metadata ({h},{w},3)")
         return px
     raise NotImplementedError(f"fmt={fmt!r} not decodable in sandbox")
 

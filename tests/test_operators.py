@@ -145,7 +145,7 @@ class TestImages:
         from overmatch_spark.images import encode
 
         with pytest.raises(NotImplementedError):
-            encode(np.zeros((2, 2, 3), np.uint8), "jpeg")
+            encode(np.zeros((2, 2, 3), np.uint8), "webp")
 
 
 class TestMultimodal:
