@@ -7,17 +7,20 @@ with numpy. The tables below are the spec's Annex K examples (the
 ones every camera and libjpeg build ships); quality scaling uses the
 standard IJG formula.
 
-Scope (what our encoder emits, and what the decoder accepts):
+Scope:
   - baseline DCT, 8-bit, 3 components (YCbCr per JFIF/BT.601)
-  - no chroma subsampling (1x1 sampling on all components) — chosen
-    for quality: the fixture corpus is seeded noise, the worst case
-    for any DCT codec, and the sink invariant is PSNR >= 40 dB
+  - encoder emits 4:4:4 (default — the fixture corpus is seeded
+    noise, the worst case for any DCT codec, and the sink invariant
+    is PSNR >= 40 dB) or 4:2:0 (``subsample=True`` — the canonical
+    real-world JPEG shape: Y at 2x2, box-filtered chroma at 1x1, for
+    smooth/natural content where chroma bandwidth is wasted)
+  - the DECODER is general over sampling factors: it implements the
+    spec's interleaved-MCU layout for arbitrary (Hi, Vi) grids, so it
+    accepts any single-scan baseline JPEG (4:4:4, 4:2:0, 4:2:2, ...),
+    with tables read from the stream (DQT/DHT), not assumed
   - no restart intervals, no progressive, no arithmetic coding
-The decoder parses real markers (APPn/COM skipped; DQT/SOF0/DHT/SOS
-honored, tables taken from the stream, not assumed) — so it decodes
-any single-scan baseline 1x1-sampled JPEG, not just its own output.
 
-Non-multiple-of-8 dimensions: encoder pads by edge replication (the
+Non-multiple-of-MCU dimensions: encoder pads by edge replication (the
 spec's recommended practice); SOF0 records the true size; decoder
 crops.
 
@@ -248,49 +251,70 @@ def _extend(received: int, s: int) -> int:
 
 # --- encode ------------------------------------------------------------------
 
+_S444 = ((1, 1), (1, 1), (1, 1))
+_S420 = ((2, 2), (1, 1), (1, 1))
 
-def _pad_edge(ch: np.ndarray) -> np.ndarray:
+
+def _pad_edge_to(ch: np.ndarray, th: int, tw: int) -> np.ndarray:
     h, w = ch.shape
-    ph, pw = -h % 8, -w % 8
-    if ph or pw:
-        ch = np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+    if th > h or tw > w:
+        ch = np.pad(ch, ((0, th - h), (0, tw - w)), mode="edge")
     return ch
 
 
-def _to_blocks(ch: np.ndarray) -> np.ndarray:
+def _box_downsample(ch: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Box-filter decimation by (fy, fx) with edge padding to a multiple."""
+    if fy == 1 and fx == 1:
+        return ch
     h, w = ch.shape
-    return (
-        ch.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
+    ch = _pad_edge_to(ch, -(-h // fy) * fy, -(-w // fx) * fx)
+    hh, ww = ch.shape
+    return ch.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
 
 
-def jpeg_encode_rgb(px: np.ndarray, quality: int = 98) -> bytes:
+def jpeg_encode_rgb(
+    px: np.ndarray, quality: int = 98, subsample: bool = False
+) -> bytes:
     """Baseline JFIF bytes for an (h, w, 3) uint8 array.
 
-    quality follows the IJG 1..100 convention. Default 98: the sink
-    invariant is PSNR >= 40 dB and the fixture corpus is seeded
-    NOISE — the adversarial worst case for a DCT codec (no energy
-    compaction), so the default sits where even noise survives; on
-    natural/smooth content the same setting is visually lossless.
+    quality follows the IJG 1..100 convention. Default 98 with no
+    chroma subsampling: the sink invariant is PSNR >= 40 dB and the
+    fixture corpus is seeded NOISE — the adversarial worst case for a
+    DCT codec (no energy compaction), so the default sits where even
+    noise survives; on natural/smooth content the same setting is
+    visually lossless.
+
+    subsample=True emits 4:2:0 (Y 2x2, box-filtered chroma 1x1) — the
+    canonical real-world JPEG shape; use for smooth/natural content
+    where chroma detail is sparse (noise does NOT survive it).
     """
     if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("expected an (h, w, 3) uint8 array")
     h, w = px.shape[:2]
+    sampling = _S420 if subsample else _S444
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qt = [scaled_qt(QT_LUMA, quality), scaled_qt(QT_CHROMA, quality)]
     ycc = rgb_to_ycbcr(px)
 
-    # vectorized DCT + quantization per component
+    # per component: downsample, pad to the MCU grid, vectorized
+    # DCT + quantization into a (by, bx, 64) zigzag grid
     comp_zz: list[np.ndarray] = []
-    for ci in range(3):
-        ch = _pad_edge(ycc[..., ci]) - 128.0
-        coefs = _dct_blocks(_to_blocks(ch))
+    for ci, (hi, vi) in enumerate(sampling):
+        ch = _box_downsample(ycc[..., ci], vmax // vi, hmax // hi)
+        by, bx = mcuy * vi, mcux * hi
+        ch = _pad_edge_to(ch, by * 8, bx * 8) - 128.0
+        blocks = (
+            ch.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _dct_blocks(blocks)
         q = qt[0 if ci == 0 else 1].reshape(8, 8).astype(np.float64)
-        quant = np.round(coefs / q).astype(np.int64)
-        # clamp to the Annex-K Huffman size ceilings (11 DC / 10 AC)
-        quant = np.clip(quant, -2047, 2047)
+        quant = np.clip(np.round(coefs / q).astype(np.int64), -2047, 2047)
         zz = quant.reshape(-1, 64)[:, ZIGZAG]
+        # Annex-K AC Huffman size ceiling is 10 bits
         zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)
-        comp_zz.append(zz)
+        comp_zz.append(zz.reshape(by, bx, 64))
 
     dc_codes = [
         build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -302,39 +326,46 @@ def jpeg_encode_rgb(px: np.ndarray, quality: int = 98) -> bytes:
     ]
 
     bw = _BitWriter()
-    n_mcu = comp_zz[0].shape[0]
     prev_dc = [0, 0, 0]
-    for m in range(n_mcu):
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            blk = comp_zz[ci][m]
-            diff = int(blk[0]) - prev_dc[ci]
-            prev_dc[ci] = int(blk[0])
-            s, bits_v = _magnitude(diff)
-            ln, code = dc_codes[t][s]
+
+    def emit_block(blk: np.ndarray, ci: int) -> None:
+        t = 0 if ci == 0 else 1
+        diff = int(blk[0]) - prev_dc[ci]
+        prev_dc[ci] = int(blk[0])
+        s, bits_v = _magnitude(diff)
+        ln, code = dc_codes[t][s]
+        bw.write(ln, code)
+        if s:
+            bw.write(s, bits_v)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = (nz[-1] + 1) if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[t][0xF0]
+                bw.write(ln, code)
+                run -= 16
+            s, bits_v = _magnitude(v)
+            ln, code = ac_codes[t][(run << 4) | s]
             bw.write(ln, code)
-            if s:
-                bw.write(s, bits_v)
+            bw.write(s, bits_v)
             run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = (nz[-1] + 1) if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[t][0xF0]
-                    bw.write(ln, code)
-                    run -= 16
-                s, bits_v = _magnitude(v)
-                ln, code = ac_codes[t][(run << 4) | s]
-                bw.write(ln, code)
-                bw.write(s, bits_v)
-                run = 0
-            if last < 63:
-                ln, code = ac_codes[t][0x00]  # EOB
-                bw.write(ln, code)
+        if last < 63:
+            ln, code = ac_codes[t][0x00]  # EOB
+            bw.write(ln, code)
+
+    # spec interleaved-MCU order: per MCU, per component, Vi x Hi
+    # blocks raster order (T.81 A.2.3)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(sampling):
+                for v in range(vi):
+                    for u in range(hi):
+                        emit_block(comp_zz[ci][my * vi + v, mx * hi + u], ci)
     entropy = bw.flush()
 
     # --- wire format ---
@@ -348,8 +379,9 @@ def jpeg_encode_rgb(px: np.ndarray, quality: int = 98) -> bytes:
         )
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qid])  # 1x1 sampling
+    for ci, (cid, qid) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = sampling[ci]
+        sof += bytes([cid, (hi << 4) | vi, qid])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -370,8 +402,13 @@ def jpeg_encode_rgb(px: np.ndarray, quality: int = 98) -> bytes:
 
 
 def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
-    """Decode single-scan baseline 1x1-sampled JFIF bytes -> (h, w, 3)
-    uint8. Tables are read from the stream (DQT/DHT), not assumed."""
+    """Decode single-scan baseline JFIF bytes -> (h, w, 3) uint8.
+
+    General over sampling factors (4:4:4, 4:2:0, 4:2:2, ...): the
+    interleaved-MCU layout is implemented per T.81 A.2.3 for arbitrary
+    (Hi, Vi); subsampled planes are box-replicated back to full
+    resolution. Tables are read from the stream (DQT/DHT), not
+    assumed."""
     data = bytes(buf)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -379,7 +416,7 @@ def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, qid)
     scan_sel: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     entropy = None
     while i < len(data):
@@ -412,9 +449,7 @@ def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
             nc = payload[5]
             for c in range(nc):
                 cid, samp, qid = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("only 1x1 sampling supported")
-                comps.append((cid, qid))
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -453,6 +488,11 @@ def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
     if len(comps) != 3 or len(scan_sel) != 3:
         raise ValueError("expected 3 components")
 
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    by_comp = {cid: (hi, vi, qid) for cid, hi, vi, qid in comps}
+
     bits = np.unpackbits(np.frombuffer(entropy, dtype=np.uint8)).tolist()
     nbits = len(bits)
     pos = 0
@@ -478,50 +518,58 @@ def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
             pos += 1
         return v
 
-    nbx, nby = -(-w // 8), -(-h // 8)
-    n_mcu = nbx * nby
-    comp_blocks = [
-        np.zeros((n_mcu, 64), dtype=np.float64) for _ in range(3)
-    ]
+    # per-component zigzag block grids (by, bx, 64)
+    grids: list[np.ndarray] = []
+    for cid, dct, act in scan_sel:
+        hi, vi, _ = by_comp[cid]
+        grids.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.float64))
     prev_dc = [0, 0, 0]
-    qid_by_cid = dict(comps)
-    for m in range(n_mcu):
-        for ci, (cid, dct, act) in enumerate(scan_sel):
-            dc_tbl = huffs[(0, dct)]
-            ac_tbl = huffs[(1, act)]
-            s = read_huff(dc_tbl)
-            diff = _extend(read_bits(s), s)
-            prev_dc[ci] += diff
-            blk = comp_blocks[ci][m]
-            blk[0] = prev_dc[ci]
-            k = 1
-            while k <= 63:
-                sym = read_huff(ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                blk[k] = _extend(read_bits(size), size)
-                k += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, dct, act) in enumerate(scan_sel):
+                hi, vi, _ = by_comp[cid]
+                dc_tbl = huffs[(0, dct)]
+                ac_tbl = huffs[(1, act)]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk = grids[ci][my * vi + v, mx * hi + u]
+                        s = read_huff(dc_tbl)
+                        prev_dc[ci] += _extend(read_bits(s), s)
+                        blk[0] = prev_dc[ci]
+                        k = 1
+                        while k <= 63:
+                            sym = read_huff(ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(read_bits(size), size)
+                            k += 1
 
     planes = []
     for ci, (cid, dct, act) in enumerate(scan_sel):
-        q = qts[qid_by_cid[cid]].astype(np.float64)
-        zz = comp_blocks[ci]
-        flat = zz[:, UNZIGZAG]  # zigzag order -> natural flat order
+        hi, vi, qid = by_comp[cid]
+        by, bx = mcuy * vi, mcux * hi
+        q = qts[qid].astype(np.float64)
+        flat = grids[ci].reshape(-1, 64)[:, UNZIGZAG]
         coefs = flat.reshape(-1, 8, 8) * q
         spatial = _idct_blocks(coefs) + 128.0
         plane = (
-            spatial.reshape(nby, nbx, 8, 8)
+            spatial.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)
+            .reshape(by * 8, bx * 8)
         )
+        # box-replicate subsampled planes back to full resolution
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
         planes.append(plane[:h, :w])
     return ycbcr_to_rgb(np.stack(planes, axis=-1))

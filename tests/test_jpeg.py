@@ -107,6 +107,29 @@ class TestFidelity:
         dec = jpeg_decode_rgb(jpeg_encode_rgb(px, quality=90))
         assert np.abs(px.astype(int) - dec.astype(int)).max() <= 1
 
+    def test_420_subsampled_roundtrip(self):
+        # 4:2:0 (the canonical real-world shape): Y 2x2, box chroma.
+        # Exercises the general interleaved-MCU decoder (4 Y blocks +
+        # Cb + Cr per 16x16 MCU) that the 4:4:4 path never hits.
+        g = _gradient(40, 56)
+        b420 = jpeg_encode_rgb(g, quality=90, subsample=True)
+        d420 = jpeg_decode_rgb(b420)
+        assert d420.shape == (40, 56, 3)
+        assert psnr_db(g, d420) >= 38.0
+        # SOF0 must carry Y sampling 0x22, chroma 0x11
+        i = b420.index(b"\xff\xc0")
+        assert b420[i + 11] == 0x22 and b420[i + 14] == 0x11
+        # chroma halving must save bytes vs 4:4:4 at equal quality
+        assert len(b420) < len(jpeg_encode_rgb(g, quality=90))
+
+    def test_420_odd_dims_crop(self):
+        # non-multiple-of-16 dims: MCU padding by edge replication,
+        # decoder crops to the SOF0 true size
+        g = np.ascontiguousarray(_gradient(40, 56)[:37, :51])
+        d = jpeg_decode_rgb(jpeg_encode_rgb(g, quality=90, subsample=True))
+        assert d.shape == (37, 51, 3)
+        assert psnr_db(g, d) >= 38.0
+
     def test_images_codec_integration(self):
         # the fmt='jpeg' path through images.encode/decode (quality 98)
         px = gen_pixels("img/000000000003", 16, 16)
