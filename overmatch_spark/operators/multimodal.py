@@ -2,10 +2,12 @@
 
 Payloads are opaque `binary` columns with typed metadata, processed
 via Arrow-batched mapInPandas. The sandbox has no media libraries, so
-the *codec* steps are either the deterministic numpy codec
-(overmatch_spark.images: fmt raw/qlossy) or clearly-marked stubs
-raising NotImplementedError — but the Spark-side plumbing (schemas,
-batch iteration, payload-projection discipline) is real and tested.
+the *codec* steps are the in-tree implementations (overmatch_spark.
+images: raw/qlossy numpy codec, REAL png via kernels/png.py, REAL
+baseline jpeg via kernels/jpeg.py) or clearly-marked stubs raising
+NotImplementedError (webp/mp4/mp3) — and the Spark-side plumbing
+(schemas, batch iteration, payload-projection discipline) is real and
+tested for all of them.
 
 Scale discipline (the part that matters at 10^12 rows): binary
 payloads NEVER enter a shuffle — every operator here is a
@@ -22,6 +24,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -121,6 +124,43 @@ def phash_near_dups(
         F.col(id_col).alias("doc_id"), F.col(phash_col).alias("sig")
     )
     return hamming_pairs(sig, k=k, bits=64)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("phash_dct", LongType()),
+    ]
+)
+
+
+def compute_phash(images: DataFrame) -> DataFrame:
+    """REAL content-based perceptual hash (classic pHash: grayscale ->
+    32x32 bilinear -> 2D DCT -> low-freq 8x8 -> median threshold ->
+    64 bits; kernels/phash.py) computed scan-side over the binary
+    column via Arrow-batched mapInPandas. Near-identical content
+    (jpeg/qlossy re-encodes of the same pixels) lands a few bits
+    apart, unrelated content ~32 — so the output column feeds
+    phash_near_dups/hamming_pairs directly for exact hamming<=k
+    retrieval by what the image LOOKS like, not by its id.
+
+    Returns (image_id, phash_dct int64). Bytes never leave the scan."""
+    import pandas as pd
+
+    from overmatch_spark.kernels.phash import phash64
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "phash_dct": []}
+            for r in pdf.itertuples(index=False):
+                px = decode(r.bytes, r.w, r.h, r.fmt)
+                out["image_id"].append(r.image_id)
+                out["phash_dct"].append(phash64(px))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        gen, PHASH_SCHEMA
+    )
 
 
 def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
