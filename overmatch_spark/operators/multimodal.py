@@ -163,6 +163,46 @@ def compute_phash(images: DataFrame) -> DataFrame:
     )
 
 
+def dedup_images_by_content(
+    images: DataFrame,
+    k: int = 3,
+    id_col: str = "image_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """One-call corpus-level image dedup BY CONTENT — the image
+    analogue of dedup.dedup_corpus: compute_phash (scan-side DCT
+    perceptual hash) -> exact hamming<=k pairs (pigeonhole blocking)
+    -> connected components -> one survivor per cluster (min-id, or
+    keep-best via `score_col`) -> the SURVIVING ROWS of `images`,
+    all columns intact.
+
+    Catches what exact byte-dedup cannot: the same picture re-encoded
+    (jpeg at another quality, 4:2:0, png), brightness-shifted, or
+    requantized. Scale discipline end-to-end: pixels are decoded once
+    at the scan; only (image_id, 8-byte hash) enters the pair join;
+    the survivor semi-join carries ids only — payload bytes NEVER
+    ride a shuffle, the non-negotiable at 10^12 images."""
+    from pyspark.sql import functions as F
+
+    from overmatch_spark.operators.dedup import dedup_clusters, hamming_pairs
+
+    sig = compute_phash(images).select(
+        F.col("image_id").alias("doc_id"), F.col("phash_dct").alias("sig")
+    )
+    pairs = hamming_pairs(sig, k=k, bits=64)
+    if score_col is not None:
+        nodes = images.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col)
+        )
+    else:
+        nodes = images.select(F.col(id_col).alias("doc_id"))
+    clusters = dedup_clusters(pairs, nodes=nodes, score_col=score_col)
+    survivors = clusters.filter(F.col("survivor")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return images.join(survivors, id_col, "left_semi")
+
+
 def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize (numpy index sampling); output re-encoded
     with the same fmt. A real bilinear/Lanczos would replace the

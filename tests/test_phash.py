@@ -111,3 +111,42 @@ class TestSparkOperator:
         assert found == {
             tuple(sorted((f"o/{i}", f"v/{i}"))) for i in range(12)
         }
+
+    def test_dedup_images_by_content(self, spark):
+        import pandas as pd
+
+        from overmatch_spark.operators.multimodal import (
+            dedup_images_by_content,
+        )
+
+        # 8 distinct pictures, each present as raw + jpeg re-encode +
+        # brightness-shifted raw (3 content-dups with distinct ids,
+        # bytes, and fmt), plus 4 singletons
+        rows = []
+        for i in range(8):
+            px = _structured(200 + i)
+            br = np.clip(px.astype(int) + 10, 0, 255).astype(np.uint8)
+            rows.append((f"a/{i}", encode(px, "raw"), 64, 48, "raw", 3))
+            rows.append((f"b/{i}", jpeg_encode_rgb(px, 90), 64, 48, "jpeg", 1))
+            rows.append((f"c/{i}", encode(br, "raw"), 64, 48, "raw", 9))
+        for i in range(4):
+            px = _structured(900 + i)
+            rows.append((f"s/{i}", encode(px, "raw"), 64, 48, "raw", 5))
+        pdf = pd.DataFrame(
+            rows, columns=["image_id", "bytes", "w", "h", "fmt", "score"]
+        )
+        df = spark.createDataFrame(pdf).repartition(4)
+
+        # min-id survivor: one a/i per cluster + all singletons
+        kept = dedup_images_by_content(df, k=3).toPandas()
+        assert sorted(kept.image_id) == sorted(
+            [f"a/{i}" for i in range(8)] + [f"s/{i}" for i in range(4)]
+        )
+        assert set(kept.columns) == set(pdf.columns)  # rows intact
+
+        # keep-best survivor: score 9 picks c/i per cluster instead
+        # of the min-id a/i; singletons survive either way
+        best = dedup_images_by_content(df, k=3, score_col="score").toPandas()
+        assert sorted(best.image_id) == sorted(
+            [f"c/{i}" for i in range(8)] + [f"s/{i}" for i in range(4)]
+        )
