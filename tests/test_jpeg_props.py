@@ -1,0 +1,84 @@
+"""Property tests (hypothesis) over the baseline JPEG codec — pure
+numpy, no Spark session needed. Mirrors the PMTiles wire-format
+property suite: arbitrary dims/quality/sampling must roundtrip to the
+exact metadata shape, and fidelity must respect the quantizer."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from overmatch_spark.images import psnr_db
+from overmatch_spark.kernels.jpeg import (
+    _extend,
+    _magnitude,
+    build_codes,
+    jpeg_decode_rgb,
+    jpeg_encode_rgb,
+    scaled_qt,
+    AC_CHROMA_BITS,
+    AC_CHROMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    QT_CHROMA,
+    QT_LUMA,
+)
+
+
+@given(st.integers(min_value=-2047, max_value=2047))
+def test_magnitude_extend_roundtrip(v):
+    s, bits = _magnitude(v)
+    assert _extend(bits, s) == v
+    assert s == (0 if v == 0 else int(abs(v)).bit_length())
+
+
+@given(st.integers(min_value=1, max_value=100))
+def test_scaled_qt_bounds(q):
+    for base in (QT_LUMA, QT_CHROMA):
+        t = scaled_qt(base, q)
+        assert (t >= 1).all() and (t <= 255).all()
+        # monotone: higher quality never coarsens any step
+        if q < 100:
+            assert (scaled_qt(base, q + 1) <= t).all()
+
+
+def test_dc_codes_cover_all_sizes():
+    codes = build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    assert set(codes) == set(range(12))  # sizes 0..11
+
+
+def test_ac_codes_cover_standard_symbols():
+    codes = build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    # EOB, ZRL, and every (run 0-15, size 1-10) symbol must be codable
+    assert 0x00 in codes and 0xF0 in codes
+    for run in range(16):
+        for size in range(1, 11):
+            assert (run << 4) | size in codes
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(min_value=4, max_value=40),
+    h=st.integers(min_value=4, max_value=40),
+    quality=st.integers(min_value=60, max_value=98),
+    subsample=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_arbitrary_dims_roundtrip_shape(w, h, quality, subsample, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # smooth-ish random field (noise at low quality has no PSNR
+    # guarantee; shape correctness is the property under test here)
+    base = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float64)
+    px = np.clip(
+        np.kron(base, np.ones((max(1, h // 4 + 1), max(1, w // 4 + 1), 1)))[
+            :h, :w
+        ]
+        + rng.normal(0, 4, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    buf = jpeg_encode_rgb(px, quality=quality, subsample=subsample)
+    dec = jpeg_decode_rgb(buf)
+    assert dec.shape == (h, w, 3)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    if quality >= 90 and not subsample:
+        assert psnr_db(px, dec) >= 35.0
