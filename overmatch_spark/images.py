@@ -20,6 +20,11 @@ prediction + boolean arithmetic coding). The Spark-side plumbing
 (binary column, Arrow batches via mapInPandas, payload kept out of
 shuffles) is identical for all formats.
 
+Video/audio containers are real too: ISO-BMFF MP4 with Motion-JPEG
+samples (kernels/mp4.py demux/mux + the in-tree JPEG codec) and
+RIFF/WAVE 16-bit PCM, alongside the deterministic RAWV/RAWA fakes.
+Compressed A/V codecs (H.264/VP9/mp3/opus) stay clearly-marked stubs.
+
 Per-row invariant at every sink (north rule): decoded pixels allclose
 vs the original (PSNR >= 40 dB for lossy) AND caption equality.
 """
@@ -114,16 +119,23 @@ def encode_video(frames: list[np.ndarray], fps: int = 30) -> bytes:
 
 
 def video_header(buf: bytes):
-    """(w, h, n_frames, fps). Raises NotImplementedError for real
-    containers (mp4/webm) — no codecs in this sandbox."""
+    """(w, h, n_frames, fps). Real containers: RAWV (fake, raw RGB
+    frames) and MP4/ISO-BMFF (real demux, kernels/mp4.py — Motion-JPEG
+    samples decode with the in-tree JPEG codec). webm/H.264 sample
+    decode would need an external codec and raises clearly."""
     import struct
 
-    if bytes(buf[:4]) != VIDEO_MAGIC:
-        raise NotImplementedError(
-            "real video containers (mp4/webm) need a codec library not "
-            "present in this sandbox; only the RAWV fake container decodes"
-        )
-    return struct.unpack_from("<IIII", buf, 4)
+    if bytes(buf[:4]) == VIDEO_MAGIC:
+        return struct.unpack_from("<IIII", buf, 4)
+    from overmatch_spark.kernels.mp4 import is_mp4, parse_mp4
+
+    if is_mp4(buf):
+        t = parse_mp4(buf)
+        return t.width, t.height, t.n_samples, int(round(t.fps))
+    raise NotImplementedError(
+        "unknown video container (webm/H.264 decode needs a codec "
+        "library not present in this sandbox); RAWV and MP4/MJPEG decode"
+    )
 
 
 def video_frame_bytes(buf: bytes, idx: int) -> bytes:
@@ -137,6 +149,83 @@ def video_frame_bytes(buf: bytes, idx: int) -> bytes:
     return bytes(buf[start:start + fsz])
 
 
+def video_frame_rgb(buf: bytes, idx: int) -> bytes:
+    """Raw RGB bytes of frame idx, container-dispatched. Only the
+    SELECTED frame's byte range is sliced — and, for mp4, decoded —
+    so sampling cost scales with frames kept, not frames stored."""
+    if bytes(buf[:4]) == VIDEO_MAGIC:
+        return video_frame_bytes(buf, idx)
+    from overmatch_spark.kernels.jpeg import jpeg_decode_rgb
+    from overmatch_spark.kernels.mp4 import is_mp4, parse_mp4, sample_bytes
+
+    if is_mp4(buf):
+        t = parse_mp4(buf)
+        if t.codec != "jpeg":
+            raise NotImplementedError(
+                f"mp4 sample codec {t.codec!r}: only Motion-JPEG decodes "
+                "in this sandbox (H.264/VP9 need external codecs)"
+            )
+        return jpeg_decode_rgb(sample_bytes(buf, t, idx)).tobytes()
+    raise NotImplementedError("unknown video container")
+
+
+class VideoReader:
+    """Per-video demux handle: the container table is parsed ONCE,
+    then every frame read is an O(1) byte-range slice (+ jpeg decode
+    for mp4). Use this in per-row loops instead of the module-level
+    one-shot helpers."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        if bytes(buf[:4]) == VIDEO_MAGIC:
+            self._track = None
+            import struct
+
+            self.w, self.h, self.n_frames, self.fps = struct.unpack_from(
+                "<IIII", buf, 4
+            )
+        else:
+            from overmatch_spark.kernels.mp4 import is_mp4, parse_mp4
+
+            if not is_mp4(buf):
+                raise NotImplementedError(
+                    "unknown video container (webm/H.264 decode needs a "
+                    "codec library); RAWV and MP4/MJPEG decode"
+                )
+            t = parse_mp4(buf)
+            if t.codec != "jpeg":
+                raise NotImplementedError(
+                    f"mp4 sample codec {t.codec!r}: only Motion-JPEG "
+                    "decodes in this sandbox"
+                )
+            self._track = t
+            self.w, self.h = t.width, t.height
+            self.n_frames, self.fps = t.n_samples, int(round(t.fps))
+
+    def frame_rgb(self, idx: int) -> bytes:
+        if self._track is None:
+            return video_frame_bytes(self.buf, idx)
+        from overmatch_spark.kernels.jpeg import jpeg_decode_rgb
+        from overmatch_spark.kernels.mp4 import sample_bytes
+
+        return jpeg_decode_rgb(
+            sample_bytes(self.buf, self._track, idx)
+        ).tobytes()
+
+
+def encode_video_mp4(
+    frames: list[np.ndarray], fps: int = 30, quality: int = 98
+) -> bytes:
+    """Real MP4: JFIF-encode each frame (kernels/jpeg.py) and mux into
+    an ISO BMFF Motion-JPEG container (kernels/mp4.py)."""
+    from overmatch_spark.kernels.jpeg import jpeg_encode_rgb
+    from overmatch_spark.kernels.mp4 import mux_mjpeg
+
+    h, w, _ = frames[0].shape
+    samples = [jpeg_encode_rgb(f, quality=quality) for f in frames]
+    return mux_mjpeg(samples, w, h, fps=fps)
+
+
 def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
     import struct
 
@@ -144,15 +233,67 @@ def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return AUDIO_MAGIC + struct.pack("<II", rate, s.size) + s.tobytes()
 
 
-def decode_audio(buf: bytes):
-    """(sample_rate, int16 samples). NotImplementedError for real
-    codecs (mp3/opus)."""
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """REAL audio container: RIFF/WAVE, mono 16-bit PCM — the raw
+    interchange format every audio pipeline ingests. Pure stdlib
+    byte packing (PCM needs no codec)."""
     import struct
 
+    s = np.asarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(buf: bytes):
+    """RIFF chunk walk -> (rate, int16 samples). Handles extra chunks
+    (LIST/fact/...) and odd-size padding per the RIFF spec; only
+    uncompressed 16-bit PCM decodes (compressed WAV = a codec)."""
+    import struct
+
+    if bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("RIFF file is not WAVE")
+    pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
+    rate = channels = bits = audio_fmt = None
+    data = None
+    while pos + 8 <= min(end, len(buf)):
+        cid = bytes(buf[pos:pos + 4])
+        (csz,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", buf, body)
+            (bits,) = struct.unpack_from("<H", buf, body + 14)
+        elif cid == b"data":
+            data = (body, csz)
+        pos = body + csz + (csz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    if audio_fmt != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"WAV fmt={audio_fmt} ch={channels} bits={bits}: only mono "
+            "16-bit PCM decodes in this sandbox (compressed WAV = codec)"
+        )
+    off, csz = data
+    return rate, np.frombuffer(buf, dtype=np.int16, count=csz // 2, offset=off)
+
+
+def decode_audio(buf: bytes):
+    """(sample_rate, int16 samples). Containers: RAWA (fake) and REAL
+    RIFF/WAVE PCM. NotImplementedError for compressed codecs
+    (mp3/opus — no codec libs in this sandbox)."""
+    import struct
+
+    if bytes(buf[:4]) == b"RIFF":
+        return _decode_wav(buf)
     if bytes(buf[:4]) != AUDIO_MAGIC:
         raise NotImplementedError(
-            "real audio codecs (mp3/opus) are not present in this "
-            "sandbox; only the RAWA fake container decodes"
+            "real compressed audio codecs (mp3/opus) are not present in "
+            "this sandbox; RAWA and RIFF/WAVE 16-bit PCM decode"
         )
     rate, n = struct.unpack_from("<II", buf, 4)
     return rate, np.frombuffer(buf, dtype=np.int16, count=n, offset=_A_HEAD)

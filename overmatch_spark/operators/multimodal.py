@@ -4,8 +4,10 @@ Payloads are opaque `binary` columns with typed metadata, processed
 via Arrow-batched mapInPandas. The sandbox has no media libraries, so
 the *codec* steps are the in-tree implementations (overmatch_spark.
 images: raw/qlossy numpy codec, REAL png via kernels/png.py, REAL
-baseline jpeg via kernels/jpeg.py) or clearly-marked stubs raising
-NotImplementedError (webp/mp4/mp3) — and the Spark-side plumbing
+baseline jpeg via kernels/jpeg.py, REAL ISO-BMFF MP4 demux + MJPEG
+via kernels/mp4.py, REAL RIFF/WAVE PCM) or clearly-marked stubs
+raising NotImplementedError (webp, H.264/VP9, mp3/opus) — and the
+Spark-side plumbing
 (schemas, batch iteration, payload-projection discipline) is real and
 tested for all of them.
 
@@ -233,13 +235,14 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling: one output row per sampled frame, each a
     raw RGB image payload ready for extract_features/resize_nearest.
-    The container demux (header parse + constant-time frame seek —
-    untouched frames are never read) is real over the deterministic
-    RAWV fake container (overmatch_spark.images); real mp4/webm decode
-    raises a clearly-marked NotImplementedError in video_header (the
-    sandbox has no codec libraries) and would replace only the
-    frame-decode line."""
-    from overmatch_spark.images import video_frame_bytes, video_header
+    The container demux (table parse + constant-time frame seek —
+    untouched frames are never read, and for mp4 never DECODED) is
+    real for BOTH supported containers: the deterministic RAWV fake
+    container and real ISO-BMFF MP4 with Motion-JPEG samples
+    (kernels/mp4.py demux + kernels/jpeg.py decode — no external
+    libs). webm/H.264 sample decode raises a clearly-marked
+    NotImplementedError inside VideoReader."""
+    from overmatch_spark.images import VideoReader
 
     def gen(batches):
         import pandas as pd
@@ -247,13 +250,13 @@ def sample_frames(videos: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
-                w, h, n, _fps = video_header(r.bytes)
-                for idx in range(0, n, every_n):
+                v = VideoReader(r.bytes)  # ONE table parse per video
+                for idx in range(0, v.n_frames, every_n):
                     out["video_id"].append(r.video_id)
                     out["frame_idx"].append(idx)
-                    out["bytes"].append(video_frame_bytes(r.bytes, idx))
-                    out["w"].append(int(w))
-                    out["h"].append(int(h))
+                    out["bytes"].append(v.frame_rgb(idx))
+                    out["w"].append(int(v.w))
+                    out["h"].append(int(v.h))
             yield pd.DataFrame(out)
 
     return videos.select(

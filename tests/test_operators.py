@@ -215,17 +215,19 @@ class TestVideoAudio:
         assert abs(got["peak"] - np.abs(x).max()) < 1e-12
 
     def test_real_codecs_stubbed(self, spark):
-        """mp4/mp3 payloads raise the documented NotImplementedError."""
+        """Payloads needing an external codec (webm/EBML here; mp4 is
+        now REAL via kernels/mp4.py) raise the documented
+        NotImplementedError."""
         import pandas as pd
         import pytest as pt
 
         from overmatch_spark.operators.multimodal import sample_frames
 
         df = spark.createDataFrame(
-            pd.DataFrame([("v", b"\x00\x00\x00\x18ftypmp42")],
+            pd.DataFrame([("v", b"\x1aE\xdf\xa3webm-ebml-header")],
                          columns=["video_id", "bytes"])
         )
-        with pt.raises(Exception, match="NotImplementedError|codec"):
+        with pt.raises(Exception, match="NotImplementedError|codec|container"):
             sample_frames(df, 2).collect()
 
 
