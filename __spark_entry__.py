@@ -1156,8 +1156,14 @@ def _image_curation_oracle_sql() -> str:
 
 
 def _fake_videos() -> list[tuple[str, bytes]]:
-    """Deterministic RAWV containers (images.gen_pixels frames)."""
-    from overmatch_spark.images import encode_video, gen_pixels
+    """Deterministic video containers: RAWV (raw RGB frames) AND real
+    ISO-BMFF MP4 with Motion-JPEG samples (kernels/mp4.py mux + the
+    in-tree JPEG codec) — one binary column, per-row dispatch."""
+    from overmatch_spark.images import (
+        encode_video,
+        encode_video_mp4,
+        gen_pixels,
+    )
 
     rows = []
     for i in range(8):
@@ -1166,13 +1172,20 @@ def _fake_videos() -> list[tuple[str, bytes]]:
         w, h = (8, 6) if i % 2 == 0 else (4, 4)
         frames = [gen_pixels(f"{vid}#{j}", w, h) for j in range(n)]
         rows.append((vid, encode_video(frames, fps=24)))
+    for i in range(4):
+        vid = f"mp4/{i:04d}"
+        n = 4 + i * 2
+        w, h = 16, 8
+        frames = [gen_pixels(f"{vid}#{j}", w, h) for j in range(n)]
+        rows.append((vid, encode_video_mp4(frames, fps=24)))
     return rows
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: distributed video demux + constant-time frame
-    seek (every 3rd frame) over the RAWV container; frames reported
-    by content hash so the oracle replays the demux single-node."""
+    seek (every 3rd frame) over RAWV + real MP4/MJPEG containers;
+    frames reported by content hash so the oracle replays the demux
+    AND the jpeg sample decode single-node (bit-for-bit)."""
     from overmatch_spark.operators.multimodal import sample_frames
 
     df = spark.createDataFrame(
@@ -1197,6 +1210,20 @@ def _video_frames_oracle_sql() -> str:
         for idx in range(0, n, 3):
             px = gen_pixels(f"{vid}#{idx}", w, h)
             md5 = hashlib.md5(px.tobytes()).hexdigest()
+            rows.append(f"('{vid}', {idx}, {w}, {h}, '{md5}')")
+    # mp4 rows: single-node replay of the full sample path (jpeg
+    # encode at mux time -> jpeg decode at sampling time) — the
+    # distributed demux+decode must match bit-for-bit
+    from overmatch_spark.kernels.jpeg import jpeg_decode_rgb, jpeg_encode_rgb
+
+    for i in range(4):
+        vid = f"mp4/{i:04d}"
+        n = 4 + i * 2
+        w, h = 16, 8
+        for idx in range(0, n, 3):
+            px = gen_pixels(f"{vid}#{idx}", w, h)
+            dec = jpeg_decode_rgb(jpeg_encode_rgb(px, quality=98))
+            md5 = hashlib.md5(dec.tobytes()).hexdigest()
             rows.append(f"('{vid}', {idx}, {w}, {h}, '{md5}')")
     values = ",\n              ".join(rows)
     return f"""
