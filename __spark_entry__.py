@@ -561,12 +561,15 @@ def q_tag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13/F14/F15 + F9/F10/F11 + F23 at customer grain (consolidated
-    r4 so every row fits the driver's 50-query window): WKT point
-    parse, OSM id format/parse round-trip, vertex-array centroid,
-    names.rules := NULL nested mutate (match.py:269-272), update_time
-    repair inside sources[] (match.py:278-284), struct flatten
-    (enrich_...py:108-126), symmetric Hausdorff distance."""
+    """F13/F14/F15 + F9/F10/F11/F12 + F23 at customer grain
+    (consolidated r4 so every row fits the driver's 50-query window):
+    WKT point parse, OSM id format/parse round-trip, vertex-array
+    centroid, names.rules := NULL nested mutate (match.py:269-272),
+    update_time repair inside sources[] (match.py:278-284), struct
+    flatten (enrich_...py:108-126), symmetric Hausdorff distance, and
+    the F12 recursive float->Decimal coercion (load_matches.py:44-61)
+    probed through a nested struct<double, array<double>> and emitted
+    as the fixed-scale decimal string repr (dec_repr)."""
     from overmatch_spark import demo
     from overmatch_spark import expressions as X
     from overmatch_spark.operators import structs
@@ -616,7 +619,15 @@ def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         structs.null_rules(names).alias("names"),
         structs.repair_update_time(sources).alias("sources"),
         F.round(X.hausdorff(hxa, hya, hxb, hyb), 6).alias("hausdorff_m"),
+        # F12 probe (load_matches.py:44-61): nested doubles, rounded to
+        # <= the target scale so the fixed-scale decimal repr is exact
+        F.struct(
+            F.round(F.col("c_custkey") / 7, 1).alias("a"),
+            F.array(F.round(F.col("c_custkey") / 3, 1)).alias("ys"),
+        ).alias("dec_probe"),
     )
+    df = structs.floats_to_decimal(df, precision=18, scale=6,
+                                   cols=["dec_probe"])
     df = structs.flatten_struct(df, "names")
     return df.select(
         "id", "wlon", "wlat", "cx", "cy", "osm_type", "osm_num",
@@ -624,6 +635,10 @@ def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sources")[0]["update_time"].alias("ut0"),
         F.col("sources")[1]["update_time"].alias("ut1"),
         "hausdorff_m",
+        F.concat(
+            F.col("dec_probe")["a"].cast("string"), F.lit("|"),
+            F.col("dec_probe")["ys"][0].cast("string"),
+        ).alias("dec_repr"),
     )
 
 
@@ -2037,7 +2052,12 @@ def _oracle_sql_extended() -> dict[str, str]:
                     ELSE '2025-04-02T12:30:15.000Z' END AS ut0,
                '2024-01-05T00:00:00Z' AS ut1,
                round({X.sql_hausdorff('xa', 'ya', 'xb', 'yb')}, 6)
-                 AS hausdorff_m
+                 AS hausdorff_m,
+               concat(
+                 CAST(CAST(round(key / 7.0, 1) AS DECIMAL(18,6)) AS VARCHAR),
+                 '|',
+                 CAST(CAST(round(key / 3.0, 1) AS DECIMAL(18,6)) AS VARCHAR)
+               ) AS dec_repr
         FROM base
     """
     det_shuffle_sql = f"""

@@ -3,6 +3,7 @@
   F9  nested mutate (names.rules := NULL)    match.py:269-272
   F10 update_time repair in sources[]        match.py:278-284
   F11 recursive tag flatten                  enrich_...py:108-126
+  F12 recursive float->Decimal coercion      load_matches.py:44-61
   F13 WKT point parse                        get_osm_ids.py:106-113
   F14 OSM id format/parse                    osmHelpers.ts:8-20
   F15 centroid of vertex arrays              get_osm_ids.py:36
@@ -89,6 +90,78 @@ def sql_centroid(xs: str, ys: str):
         f"(list_reduce({xs}, (a, v) -> a + v) / CAST(len({xs}) AS DOUBLE))",
         f"(list_reduce({ys}, (a, v) -> a + v) / CAST(len({ys}) AS DOUBLE))",
     )
+
+
+def floats_to_decimal(
+    df: DataFrame,
+    precision: int = 38,
+    scale: int = 6,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """F12: recursively coerce every float/double — at any nesting
+    depth inside structs, arrays, and maps — to a fixed-scale
+    ``DecimalType(precision, scale)``.
+
+    The reference walks dict/list values converting each float to
+    ``Decimal(str(x))`` before a DynamoDB put
+    (``api/load_matches.py:44-61``); the Spark-typed equivalent is a
+    schema rewrite to DecimalType, which decimal-exact sinks (JDBC
+    NUMERIC columns, DynamoDB connectors, Iceberg decimal fields)
+    consume natively. Semantics note: ``Decimal(str(x))`` keeps each
+    value's own shortest-repr scale, while a Spark column needs ONE
+    fixed scale — casts round half-away-from-zero to ``scale`` places
+    (matching DuckDB's double->DECIMAL cast, used by the oracle twin).
+    Round values to <= ``scale`` places first when byte-exact repr
+    parity matters.
+
+    ``cols`` limits the rewrite to the named top-level columns
+    (default: all). Non-float leaves and the null-ness of nested
+    structs are preserved (struct rewrite uses withField, not a
+    rebuild).
+    """
+    from pyspark.sql import types as T
+
+    dec = T.DecimalType(precision, scale)
+
+    def has_float(dt: T.DataType) -> bool:
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_float(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_float(dt.keyType) or has_float(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_float(f.dataType) for f in dt.fields)
+        return False
+
+    def conv(col: Column, dt: T.DataType) -> Column:
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return col.cast(dec)
+        if isinstance(dt, T.ArrayType):
+            return F.transform(col, lambda e: conv(e, dt.elementType))
+        if isinstance(dt, T.MapType):
+            keys = F.map_keys(col)
+            vals = F.map_values(col)
+            if has_float(dt.keyType):
+                keys = F.transform(keys, lambda k: conv(k, dt.keyType))
+            if has_float(dt.valueType):
+                vals = F.transform(vals, lambda v: conv(v, dt.valueType))
+            return F.map_from_arrays(keys, vals)
+        if isinstance(dt, T.StructType):
+            out = col
+            for f in dt.fields:
+                if has_float(f.dataType):
+                    out = out.withField(f.name, conv(col[f.name], f.dataType))
+            return out
+        return col
+
+    out = df
+    for f in df.schema.fields:
+        if cols is not None and f.name not in cols:
+            continue
+        if has_float(f.dataType):
+            out = out.withColumn(f.name, conv(F.col(f.name), f.dataType))
+    return out
 
 
 def deterministic_shuffle(df: DataFrame, seed: int, id_col: str) -> DataFrame:

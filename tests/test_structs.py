@@ -95,3 +95,88 @@ class TestStructs:
         ]
         assert o1 == o2  # stable across partitionings
         assert o1 != sorted(o1, key=int)  # actually shuffled
+
+
+class TestFloatsToDecimal:
+    """F12 (load_matches.py:44-61): recursive float->Decimal coercion."""
+
+    def _frame(self, spark):
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            MapType,
+        )
+
+        schema = StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("d", DoubleType()),
+                StructField("arr", ArrayType(DoubleType())),
+                StructField(
+                    "st",
+                    StructType(
+                        [
+                            StructField("x", DoubleType()),
+                            StructField("tag", StringType()),
+                            StructField("ys", ArrayType(DoubleType())),
+                        ]
+                    ),
+                ),
+                StructField("m", MapType(StringType(), DoubleType())),
+                StructField("s", StringType()),
+            ]
+        )
+        rows = [
+            (1, 1.5, [0.25, 2.0], (7.125, "a", [3.5]), {"k": 9.75}, "keep"),
+            (2, None, None, None, None, None),
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def test_recursive_coercion_and_values(self, spark):
+        from decimal import Decimal
+
+        from overmatch_spark.operators.structs import floats_to_decimal
+
+        out = floats_to_decimal(self._frame(spark), precision=18, scale=6)
+        sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert sch["d"] == "decimal(18,6)"
+        assert sch["arr"] == "array<decimal(18,6)>"
+        assert sch["st"] == (
+            "struct<x:decimal(18,6),tag:string,ys:array<decimal(18,6)>>"
+        )
+        assert sch["m"] == "map<string,decimal(18,6)>"
+        assert sch["id"] == "int" and sch["s"] == "string"  # untouched
+        r1, r2 = out.orderBy("id").collect()
+        assert r1["d"] == Decimal("1.500000")
+        assert r1["arr"] == [Decimal("0.250000"), Decimal("2.000000")]
+        assert r1["st"]["x"] == Decimal("7.125000")
+        assert r1["st"]["tag"] == "a"
+        assert r1["st"]["ys"] == [Decimal("3.500000")]
+        assert r1["m"]["k"] == Decimal("9.750000")
+        # nulls at every level survive (withField keeps struct nullness)
+        assert r2["d"] is None and r2["arr"] is None
+        assert r2["st"] is None and r2["m"] is None
+
+    def test_cols_limit_and_rounding(self, spark):
+        from decimal import Decimal
+
+        from overmatch_spark.operators.structs import floats_to_decimal
+
+        out = floats_to_decimal(
+            self._frame(spark), precision=10, scale=1, cols=["d"]
+        )
+        sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert sch["d"] == "decimal(10,1)"
+        assert sch["arr"] == "array<double>"  # outside cols -> untouched
+        # half-away-from-zero, like DuckDB's double->DECIMAL cast
+        row = (
+            floats_to_decimal(
+                spark.range(1).select(
+                    F.lit(-7.25).alias("neg"), F.lit(7.25).alias("pos")
+                ),
+                precision=10,
+                scale=1,
+            )
+            .collect()[0]
+        )
+        assert row["neg"] == Decimal("-7.3") and row["pos"] == Decimal("7.3")
