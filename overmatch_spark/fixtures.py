@@ -71,8 +71,9 @@ def make_images(n: int = 2000, with_bytes: bool = True) -> pd.DataFrame:
         image_id = f"img/{i:012d}"
         w = (16, 32, 64)[i % 3]
         h = (16, 32, 48)[i % 3]
-        # png + jpeg = REAL codec paths (kernels/png.py, kernels/jpeg.py)
-        fmt = ("raw", "qlossy", "png", "jpeg")[i % 4]
+        # png + jpeg + webp = REAL codec paths (kernels/png.py,
+        # kernels/jpeg.py, kernels/vp8l.py)
+        fmt = ("raw", "qlossy", "png", "jpeg", "webp")[i % 5]
         cap = caption_for(image_id)
         ph = fnv64(image_id)
         buf = encode(gen_pixels(image_id, w, h), fmt) if with_bytes else b""

@@ -14,11 +14,13 @@ are implemented here (FIXTURES.md §1):
                 pure numpy) — kernels/jpeg.py. Encoded at quality 98
                 so even the seeded-noise fixtures (the DCT worst
                 case) clear the 40 dB sink invariant.
+  - ``webp``    REAL lossless WebP (VP8L bitstream: canonical prefix
+                codes + LZ77 back-refs, pure numpy) — kernels/vp8l.py.
 
-Only webp remains stubbed (no spec-simple pure-numpy path: VP8 intra
-prediction + boolean arithmetic coding). The Spark-side plumbing
-(binary column, Arrow batches via mapInPandas, payload kept out of
-shuffles) is identical for all formats.
+Only LOSSY WebP (VP8 intra prediction + boolean arithmetic coding)
+remains stubbed. The Spark-side plumbing (binary column, Arrow
+batches via mapInPandas, payload kept out of shuffles) is identical
+for all formats.
 
 Video/audio containers are real too: ISO-BMFF MP4 with Motion-JPEG
 samples (kernels/mp4.py demux/mux + the in-tree JPEG codec) and
@@ -72,9 +74,16 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from overmatch_spark.kernels.jpeg import jpeg_encode_rgb
 
         return jpeg_encode_rgb(pixels, quality=98)
+    if fmt == "webp":
+        # REAL lossless codec, not a stub: VP8L prefix-coded literals
+        # + run back-references in pure numpy — kernels/vp8l.py
+        from overmatch_spark.kernels.vp8l import vp8l_encode_rgb
+
+        return vp8l_encode_rgb(pixels)
     raise NotImplementedError(
-        f"fmt={fmt!r}: webp stays stubbed in this sandbox; 'raw', "
-        "'qlossy', real 'png' and real baseline 'jpeg' are implemented"
+        f"fmt={fmt!r}: lossy-VP8 webp stays stubbed in this sandbox; "
+        "'raw', 'qlossy', real 'png', real baseline 'jpeg' and real "
+        "lossless 'webp' (VP8L) are implemented"
     )
 
 
@@ -94,6 +103,13 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         px = jpeg_decode_rgb(buf)
         if px.shape != (h, w, 3):
             raise ValueError(f"jpeg dims {px.shape} != metadata ({h},{w},3)")
+        return px
+    if fmt == "webp":
+        from overmatch_spark.kernels.vp8l import vp8l_decode_rgb
+
+        px = vp8l_decode_rgb(buf)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"webp dims {px.shape} != metadata ({h},{w},3)")
         return px
     raise NotImplementedError(f"fmt={fmt!r} not decodable in sandbox")
 

@@ -147,7 +147,7 @@ class TestSparkPath:
 
         pdf = make_images(40, with_bytes=True)
         jp = pdf[pdf.fmt == "jpeg"]
-        assert len(jp) == 10  # i%4 mix puts jpeg on every 4th row
+        assert len(jp) == 8  # i%5 mix puts jpeg on every 5th row
         rep = (
             invariant_report(
                 spark.createDataFrame(pdf).repartition(4),

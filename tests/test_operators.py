@@ -144,8 +144,10 @@ class TestImages:
     def test_unknown_fmt_stubbed(self):
         from overmatch_spark.images import encode
 
+        # webp became a REAL VP8L codec late r5; the remaining stub
+        # boundary is lossy/unknown formats
         with pytest.raises(NotImplementedError):
-            encode(np.zeros((2, 2, 3), np.uint8), "webp")
+            encode(np.zeros((2, 2, 3), np.uint8), "avif")
 
 
 class TestMultimodal:
