@@ -41,14 +41,6 @@ MAX_CODE_DEPTH = 15
 MAX_LENGTH_CODE_DEPTH = 7  # code-length code lengths live in 3-bit fields
 
 
-def _reverse_bits(v: int, n: int) -> int:
-    r = 0
-    for _ in range(n):
-        r = (r << 1) | (v & 1)
-        v >>= 1
-    return r
-
-
 class BitWriter:
     """LSB-first-within-byte bitstream (VP8LPutBits convention)."""
 
