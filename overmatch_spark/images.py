@@ -220,7 +220,13 @@ class VideoReader:
 
     def frame_rgb(self, idx: int) -> bytes:
         if self._track is None:
-            return video_frame_bytes(self.buf, idx)
+            # O(1) slice straight from the header fields parsed in
+            # __init__ — no per-frame re-dispatch/re-parse
+            if not 0 <= idx < self.n_frames:
+                raise IndexError(f"frame {idx} of {self.n_frames}")
+            fsz = self.w * self.h * 3
+            start = _V_HEAD + idx * fsz
+            return bytes(self.buf[start : start + fsz])
         from overmatch_spark.kernels.jpeg import jpeg_decode_rgb
         from overmatch_spark.kernels.mp4 import sample_bytes
 

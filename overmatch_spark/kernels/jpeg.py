@@ -419,70 +419,77 @@ def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, qid)
     scan_sel: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     entropy = None
-    while i < len(data):
-        if data[i] != 0xFF:
-            raise ValueError(f"marker expected at {i}")
-        marker = data[i + 1]
-        i += 2
-        if marker in (0xD8, 0xD9):
-            continue
-        (seglen,) = struct.unpack_from(">H", data, i)
-        payload = data[i + 2 : i + seglen]
-        i += seglen
-        if marker == 0xDB:  # DQT (possibly several tables)
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz = np.frombuffer(
-                    payload[p + 1 : p + 65], dtype=np.uint8
-                ).astype(np.int32)
-                flat = np.empty(64, dtype=np.int32)
-                flat[ZIGZAG] = zz
-                qts[tq] = flat.reshape(8, 8)
-                p += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            if payload[0] != 8:
-                raise ValueError("only 8-bit precision")
-            h, w = struct.unpack_from(">HH", payload, 1)
-            nc = payload[5]
-            for c in range(nc):
-                cid, samp, qid = payload[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0xF, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            raise ValueError("only baseline SOF0 supported")
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            p = 0
-            while p < len(payload):
-                cls, tid = payload[p] >> 4, payload[p] & 0xF
-                bits = list(payload[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + nv])
-                huffs[(cls, tid)] = _decode_map(bits, vals)
-                p += 17 + nv
-        elif marker == 0xDA:  # SOS — entropy data follows
-            ns = payload[0]
-            for c in range(ns):
-                cid = payload[1 + 2 * c]
-                sel = payload[2 + 2 * c]
-                scan_sel.append((cid, sel >> 4, sel & 0xF))
-            # de-stuff up to the next marker (we emit no restarts)
-            j = i
-            chunks = bytearray()
-            while j < len(data):
-                b = data[j]
-                if b == 0xFF:
-                    nxt = data[j + 1]
-                    if nxt == 0x00:
-                        chunks.append(0xFF)
-                        j += 2
-                        continue
-                    break
-                chunks.append(b)
-                j += 1
-            entropy = bytes(chunks)
-            i = j
+    # any out-of-range read below is a truncated/corrupt stream;
+    # surface it as the documented ValueError, never IndexError
+    try:
+        while i < len(data):
+            if data[i] != 0xFF:
+                raise ValueError(f"marker expected at {i}")
+            marker = data[i + 1]
+            i += 2
+            if marker in (0xD8, 0xD9):
+                continue
+            (seglen,) = struct.unpack_from(">H", data, i)
+            payload = data[i + 2 : i + seglen]
+            i += seglen
+            if marker == 0xDB:  # DQT (possibly several tables)
+                p = 0
+                while p < len(payload):
+                    pq, tq = payload[p] >> 4, payload[p] & 0xF
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    zz = np.frombuffer(
+                        payload[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    flat = np.empty(64, dtype=np.int32)
+                    flat[ZIGZAG] = zz
+                    qts[tq] = flat.reshape(8, 8)
+                    p += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                if payload[0] != 8:
+                    raise ValueError("only 8-bit precision")
+                h, w = struct.unpack_from(">HH", payload, 1)
+                nc = payload[5]
+                for c in range(nc):
+                    cid, samp, qid = payload[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 0xF, qid))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+                raise ValueError("only baseline SOF0 supported")
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                p = 0
+                while p < len(payload):
+                    cls, tid = payload[p] >> 4, payload[p] & 0xF
+                    bits = list(payload[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = list(payload[p + 17 : p + 17 + nv])
+                    huffs[(cls, tid)] = _decode_map(bits, vals)
+                    p += 17 + nv
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = payload[0]
+                for c in range(ns):
+                    cid = payload[1 + 2 * c]
+                    sel = payload[2 + 2 * c]
+                    scan_sel.append((cid, sel >> 4, sel & 0xF))
+                # de-stuff up to the next marker (we emit no restarts)
+                j = i
+                chunks = bytearray()
+                while j < len(data):
+                    b = data[j]
+                    if b == 0xFF:
+                        if j + 1 >= len(data):
+                            break  # trailing 0xFF on truncated input
+                        nxt = data[j + 1]
+                        if nxt == 0x00:
+                            chunks.append(0xFF)
+                            j += 2
+                            continue
+                        break
+                    chunks.append(b)
+                    j += 1
+                entropy = bytes(chunks)
+                i = j
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated JPEG header: {e}") from None
     if w is None or entropy is None:
         raise ValueError("truncated JPEG (missing SOF0 or scan)")
     if len(comps) != 3 or len(scan_sel) != 3:
@@ -512,6 +519,8 @@ def jpeg_decode_rgb(buf: bytes) -> np.ndarray:
 
     def read_bits(n: int) -> int:
         nonlocal pos
+        if pos + n > nbits:
+            raise ValueError("truncated JPEG entropy stream")
         v = 0
         for _ in range(n):
             v = (v << 1) | bits[pos]

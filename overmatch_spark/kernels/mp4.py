@@ -31,7 +31,23 @@ _FULL = 8  # size + fourcc
 _MJPEG_FOURCC = b"jpeg"  # QuickTime/ISO Motion-JPEG VisualSampleEntry
 
 
+# 32-bit wire-format ceilings (module constants so tests can lower
+# them to exercise the 64-bit paths without materializing 4 GiB)
+_BOX32_MAX = 0xFFFFFFFF  # max 32-bit box size
+_STCO_MAX = 0xFFFFFFFF  # max stco chunk offset
+
+
 def _box(fourcc: bytes, payload: bytes) -> bytes:
+    """Box with automatic largesize form (size==1 + 64-bit size after
+    the fourcc, ISO 14496-12 §4.2) once 8+len(payload) overflows
+    32 bits — the writer half of walk_boxes's largesize support."""
+    if 8 + len(payload) > _BOX32_MAX:
+        return (
+            struct.pack(">I", 1)
+            + fourcc
+            + struct.pack(">Q", 16 + len(payload))
+            + payload
+        )
     return struct.pack(">I", 8 + len(payload)) + fourcc + payload
 
 
@@ -246,13 +262,17 @@ def mux_mjpeg(
     n = len(samples)
     per_chunk = n if samples_per_chunk <= 0 else samples_per_chunk
 
+    for s in samples:
+        if len(s) > 0xFFFFFFFF:
+            raise ValueError("stsz sample size is 32-bit; frame too large")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mdat_payload = b"".join(samples)
     mdat = _box(b"mdat", mdat_payload)
     # chunk layout inside mdat (contiguous; chunk boundaries are purely
-    # a table-level grouping)
+    # a table-level grouping); the mdat header is 16 bytes in the
+    # largesize form, so derive it from the emitted box, not _FULL
     n_chunks = (n + per_chunk - 1) // per_chunk
-    first_sample_off = len(ftyp) + _FULL
+    first_sample_off = len(ftyp) + (len(mdat) - len(mdat_payload))
     chunk_offs, pos, i = [], first_sample_off, 0
     for _ in range(n_chunks):
         chunk_offs.append(pos)
@@ -321,11 +341,20 @@ def mux_mjpeg(
         struct.pack(">II", 0, n)
         + struct.pack(f">{n}I", *(len(s) for s in samples)),
     )
-    stco = _full_box(
-        b"stco", 0, 0,
-        struct.pack(">I", n_chunks)
-        + struct.pack(f">{n_chunks}I", *chunk_offs),
-    )
+    # co64 once any chunk offset overflows 32 bits (>= 4 GiB of
+    # samples) — the writer half of the demuxer's co64 branch
+    if chunk_offs and max(chunk_offs) > _STCO_MAX:
+        stco = _full_box(
+            b"co64", 0, 0,
+            struct.pack(">I", n_chunks)
+            + struct.pack(f">{n_chunks}Q", *chunk_offs),
+        )
+    else:
+        stco = _full_box(
+            b"stco", 0, 0,
+            struct.pack(">I", n_chunks)
+            + struct.pack(f">{n_chunks}I", *chunk_offs),
+        )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)

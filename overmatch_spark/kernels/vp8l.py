@@ -405,9 +405,14 @@ def vp8l_encode_rgb(px: np.ndarray, rle: bool = True) -> bytes:
     """RGB uint8 (h, w, 3) -> lossless .webp bytes. ``rle`` enables
     run-length back-references (distance 1, raw-coded) for repeated
     pixels; literals otherwise."""
-    assert px.dtype == np.uint8 and px.ndim == 3 and px.shape[2] == 3
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("vp8l_encode_rgb expects uint8 (h, w, 3)")
     h, w = px.shape[:2]
-    assert 1 <= w <= (1 << 14) and 1 <= h <= (1 << 14)
+    # hard VP8L format bound: 14-bit dims; a wrapped width would emit
+    # a structurally valid but corrupt bitstream, so refuse loudly
+    # (ValueError, not assert — survives python -O)
+    if not (1 <= w <= (1 << 14) and 1 <= h <= (1 << 14)):
+        raise ValueError(f"VP8L dims out of range (1..16384): {w}x{h}")
     flat = px.reshape(-1, 3).astype(np.int64)
     n = len(flat)
 

@@ -533,108 +533,113 @@ def _assemble_archive(
     miny: dict[int, int] = {}
     maxy: dict[int, int] = {}
     tmp = path + ".tiledata.tmp"
-    off = 0
-    with open(tmp, "wb") as td:
-        for row in enc.toLocalIterator():
-            blob = bytes(row.data)
-            h = hashlib.sha256(blob).digest()
-            if h in seen:
-                o, ln = seen[h]
-            else:
-                o, ln = off, len(blob)
-                td.write(blob)
-                off += ln
-                seen[h] = (o, ln)
-            entries.append((int(row.tileid), o, ln, 1))
-            z, x, y = int(row.z), int(row.x), int(row.y)
-            min_z, max_z = min(min_z, z), max(max_z, z)
-            minx[z] = min(minx.get(z, x), x)
-            maxx[z] = max(maxx.get(z, x), x)
-            miny[z] = min(miny.get(z, y), y)
-            maxy[z] = max(maxy.get(z, y), y)
-    if not entries:
-        os.remove(tmp)
-        raise ValueError("empty tile pyramid — nothing to archive")
+    # the spool must not survive ANY failure (task loss inside
+    # toLocalIterator, directory-build errors) — multi-GB orphan
+    # spools would otherwise accumulate on the driver disk
+    try:
+        off = 0
+        with open(tmp, "wb") as td:
+            for row in enc.toLocalIterator():
+                blob = bytes(row.data)
+                h = hashlib.sha256(blob).digest()
+                if h in seen:
+                    o, ln = seen[h]
+                else:
+                    o, ln = off, len(blob)
+                    td.write(blob)
+                    off += ln
+                    seen[h] = (o, ln)
+                entries.append((int(row.tileid), o, ln, 1))
+                z, x, y = int(row.z), int(row.x), int(row.y)
+                min_z, max_z = min(min_z, z), max(max_z, z)
+                minx[z] = min(minx.get(z, x), x)
+                maxx[z] = max(maxx.get(z, x), x)
+                miny[z] = min(miny.get(z, y), y)
+                maxy[z] = max(maxy.get(z, y), y)
+        if not entries:
+            raise ValueError("empty tile pyramid — nothing to archive")
 
-    # geographic bounds from the max-zoom tile envelope
-    z = max_z
-    n = 1 << z
+        # geographic bounds from the max-zoom tile envelope
+        z = max_z
+        n = 1 << z
 
-    def lon_of(tx: float) -> float:
-        return tx / n * 360.0 - 180.0
+        def lon_of(tx: float) -> float:
+            return tx / n * 360.0 - 180.0
 
-    def lat_of(ty: float) -> float:
-        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * ty / n))))
+        def lat_of(ty: float) -> float:
+            return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * ty / n))))
 
-    b_minlon, b_maxlon = lon_of(minx[z]), lon_of(maxx[z] + 1)
-    b_minlat, b_maxlat = lat_of(maxy[z] + 1), lat_of(miny[z])
+        b_minlon, b_maxlon = lon_of(minx[z]), lon_of(maxx[z] + 1)
+        b_minlat, b_maxlat = lat_of(maxy[z] + 1), lat_of(miny[z])
 
-    if leaf_split is None:
-        root, leaves, n_leaves = _build_directories(entries)
-    else:
-        root, leaves, n_leaves = _build_directories(
-            entries, split_threshold=leaf_split, leaf_size=leaf_split
+        if leaf_split is None:
+            root, leaves, n_leaves = _build_directories(entries)
+        else:
+            root, leaves, n_leaves = _build_directories(
+                entries, split_threshold=leaf_split, leaf_size=leaf_split
+            )
+        metadata = dict(metadata)
+        for layer_meta in metadata.get("vector_layers", []):
+            layer_meta.setdefault("minzoom", min_z)
+            layer_meta.setdefault("maxzoom", max_z)
+        meta = _gz(json.dumps(metadata, sort_keys=True).encode("utf-8"))
+        root_off = 127
+        meta_off = root_off + len(root)
+        leaf_off = meta_off + len(meta)
+        data_off = leaf_off + len(leaves)
+        header = struct.pack(
+            _HEADER_FMT,
+            b"PMTiles",
+            3,
+            root_off,
+            len(root),
+            meta_off,
+            len(meta),
+            leaf_off,
+            len(leaves),
+            data_off,
+            off,
+            len(entries),  # addressed tiles (run lengths are all 1)
+            len(entries),  # tile entries
+            len(seen),  # tile contents (deduped blobs)
+            1,  # clustered: written in ascending tileid order
+            _GZIP,
+            tile_compression,
+            tile_type,
+            min_z,
+            max_z,
+            int(b_minlon * 1e7),
+            int(b_minlat * 1e7),
+            int(b_maxlon * 1e7),
+            int(b_maxlat * 1e7),
+            min_z,
+            int((b_minlon + b_maxlon) / 2 * 1e7),
+            int((b_minlat + b_maxlat) / 2 * 1e7),
         )
-    metadata = dict(metadata)
-    for layer_meta in metadata.get("vector_layers", []):
-        layer_meta.setdefault("minzoom", min_z)
-        layer_meta.setdefault("maxzoom", max_z)
-    meta = _gz(json.dumps(metadata, sort_keys=True).encode("utf-8"))
-    root_off = 127
-    meta_off = root_off + len(root)
-    leaf_off = meta_off + len(meta)
-    data_off = leaf_off + len(leaves)
-    header = struct.pack(
-        _HEADER_FMT,
-        b"PMTiles",
-        3,
-        root_off,
-        len(root),
-        meta_off,
-        len(meta),
-        leaf_off,
-        len(leaves),
-        data_off,
-        off,
-        len(entries),  # addressed tiles (run lengths are all 1)
-        len(entries),  # tile entries
-        len(seen),  # tile contents (deduped blobs)
-        1,  # clustered: written in ascending tileid order
-        _GZIP,
-        tile_compression,
-        tile_type,
-        min_z,
-        max_z,
-        int(b_minlon * 1e7),
-        int(b_minlat * 1e7),
-        int(b_maxlon * 1e7),
-        int(b_maxlat * 1e7),
-        min_z,
-        int((b_minlon + b_maxlon) / 2 * 1e7),
-        int((b_minlat + b_maxlat) / 2 * 1e7),
-    )
-    with open(path, "wb") as f:
-        f.write(header)
-        f.write(root)
-        f.write(meta)
-        f.write(leaves)
-        with open(tmp, "rb") as td:
-            while True:
-                chunk = td.read(1 << 20)
-                if not chunk:
-                    break
-                f.write(chunk)
-    os.remove(tmp)
-    return {
-        "path": path,
-        "tiles": len(entries),
-        "contents": len(seen),
-        "leaf_dirs": n_leaves,
-        "bytes": 127 + len(root) + len(meta) + len(leaves) + off,
-        "min_zoom": min_z,
-        "max_zoom": max_z,
-        "bounds": [b_minlon, b_minlat, b_maxlon, b_maxlat],
-    }
+        with open(path, "wb") as f:
+            f.write(header)
+            f.write(root)
+            f.write(meta)
+            f.write(leaves)
+            with open(tmp, "rb") as td:
+                while True:
+                    chunk = td.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+        return {
+            "path": path,
+            "tiles": len(entries),
+            "contents": len(seen),
+            "leaf_dirs": n_leaves,
+            "bytes": 127 + len(root) + len(meta) + len(leaves) + off,
+            "min_zoom": min_z,
+            "max_zoom": max_z,
+            "bounds": [b_minlon, b_minlat, b_maxlon, b_maxlat],
+        }
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def matches_to_pmtiles(
@@ -717,6 +722,11 @@ class PMTilesReader:
             gzip.decompress(raw[meta_off : meta_off + meta_len])
         )
         self._raw = raw
+        # lookup acceleration: the root key list once (not per get_tile)
+        # and decoded leaf directories memoized by leaf offset — a full
+        # pyramid scan is O(n log n) instead of O(n^2) + re-gunzip
+        self._root_keys = [e[0] for e in self.entries]
+        self._leaf_cache: dict[int, tuple[list, list]] = {}
 
     def iter_tile_entries(self):
         """Yield every TILE entry (tile_id, offset, length,
@@ -738,14 +748,17 @@ class PMTilesReader:
             else:
                 yield e
 
-    def _find(self, entries, tid):
+    def _find(self, entries, tid, keys=None):
         """Spec search: the last entry with id <= tid governs tid —
         a run_length>=1 entry matches if tid falls in its run; a
         run_length==0 entry is a leaf pointer that covers everything
-        up to the next root entry."""
+        up to the next root entry.  ``keys`` is the precomputed
+        sorted id list (built once per directory, not per lookup)."""
         import bisect
 
-        i = bisect.bisect_right([e[0] for e in entries], tid) - 1
+        if keys is None:
+            keys = [e[0] for e in entries]
+        i = bisect.bisect_right(keys, tid) - 1
         if i < 0:
             return None
         eid, off, ln, rl = entries[i]
@@ -753,21 +766,32 @@ class PMTilesReader:
             return entries[i]
         return entries[i] if eid <= tid < eid + rl else None
 
-    def get_tile(self, z: int, x: int, y: int) -> dict | bytes | None:
-        """MVT archives: decoded layer dict.  Other tile types (e.g.
-        png): the tile-decompressed raw bytes."""
-        tid = hilbert_tid(z, x, y)
-        hit = self._find(self.entries, tid)
-        if hit is not None and hit[3] == 0:  # leaf pointer
-            _, loff, lln, _ = hit
-            leaf = _decode_directory(
+    def _leaf(self, loff: int, lln: int) -> tuple[list, list]:
+        """Decode (and memoize) the leaf directory at data offset
+        ``loff`` — repeated hits on the same leaf cost one dict get,
+        not a gunzip + full varint decode."""
+        hit = self._leaf_cache.get(loff)
+        if hit is None:
+            entries = _decode_directory(
                 gzip.decompress(
                     self._raw[
                         self._leaf_off + loff : self._leaf_off + loff + lln
                     ]
                 )
             )
-            hit = self._find(leaf, tid)
+            hit = (entries, [e[0] for e in entries])
+            self._leaf_cache[loff] = hit
+        return hit
+
+    def get_tile(self, z: int, x: int, y: int) -> dict | bytes | None:
+        """MVT archives: decoded layer dict.  Other tile types (e.g.
+        png): the tile-decompressed raw bytes."""
+        tid = hilbert_tid(z, x, y)
+        hit = self._find(self.entries, tid, self._root_keys)
+        if hit is not None and hit[3] == 0:  # leaf pointer
+            _, loff, lln, _ = hit
+            leaf, leaf_keys = self._leaf(loff, lln)
+            hit = self._find(leaf, tid, leaf_keys)
             if hit is not None and hit[3] == 0:
                 raise ValueError("nested leaf directories unsupported")
         if hit is None:

@@ -131,6 +131,30 @@ class TestMp4Kernel:
         for i in range(t.n_samples):
             assert sample_bytes(out, t, i) == samples[i]
 
+    def test_mux_emits_largesize_and_co64(self, monkeypatch):
+        """The WRITER side of the >4 GiB shapes: lower the 32-bit
+        ceilings so mux_mjpeg takes the largesize-mdat + co64 paths
+        with tiny data, and verify the demuxer round-trips the
+        result byte-exactly."""
+        from overmatch_spark.kernels import mp4 as m
+
+        samples = _mjpeg_samples(_frames("v6", 4))
+        monkeypatch.setattr(m, "_BOX32_MAX", 64)  # force largesize mdat
+        monkeypatch.setattr(m, "_STCO_MAX", 16)  # force co64
+        buf = m.mux_mjpeg(samples, 24, 16, samples_per_chunk=2)
+        boxes = {fc: (s, e) for fc, s, e in m.walk_boxes(buf)}
+        mdat_s, _ = boxes[b"mdat"]
+        # largesize form: size field == 1, payload starts at +16
+        assert struct.unpack_from(">I", buf, mdat_s - 16)[0] == 1
+        assert b"co64" in buf and b"stco" not in buf
+        # offsets/sizes resolve through the 64-bit tables untouched
+        # (restore ceilings so parse paths see normal constants)
+        monkeypatch.undo()
+        t = parse_mp4(buf)
+        assert t.n_samples == len(samples)
+        for i in range(t.n_samples):
+            assert sample_bytes(buf, t, i) == samples[i]
+
     def test_malformed_rejected(self):
         with pytest.raises(ValueError):
             parse_mp4(b"\x00\x00\x00\x08free")  # no ftyp

@@ -271,6 +271,40 @@ class TestArchive:
         r3 = publish_pmtiles(path, "tiles-bucket", store=store)
         assert not r3["skipped"] and r3["etag"] != r1["etag"]
 
+    def test_publish_crash_window_self_heals(self, pyramid, spark, tmp_path):
+        """A crash between the object rename and the sidecar rename
+        (the put_file crash window) must read as ABSENT and be
+        repaired by the next publish — never pin stale bytes behind
+        a skip."""
+        from overmatch_spark.operators.publish import (
+            LocalObjectStore,
+            publish_pmtiles,
+        )
+
+        path = str(tmp_path / "pub.pmtiles")
+        write_pmtiles(pyramid, path)
+        store = LocalObjectStore(str(tmp_path / "store"))
+        r1 = publish_pmtiles(path, "tiles-bucket", store=store)
+        obj = tmp_path / "store" / "tiles-bucket" / "pub.pmtiles"
+        # simulate the crash window: object bytes present, sidecar gone
+        (tmp_path / "store" / "tiles-bucket" / "pub.pmtiles.headers.json").unlink()
+        assert store.head("tiles-bucket", "pub.pmtiles") is None
+        r2 = publish_pmtiles(path, "tiles-bucket", store=store)
+        assert not r2["skipped"] and r2["etag"] == r1["etag"]
+        assert obj.read_bytes() == open(path, "rb").read()
+        assert store.head("tiles-bucket", "pub.pmtiles")["ETag"] == r2["etag"]
+        # source mutated between the skip-check hash and the copy ->
+        # put_file's cross-check aborts and leaves no tmp debris
+        with open(path, "ab") as f:
+            f.write(b"y")
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            store.put_file(
+                path, "tiles-bucket", "pub.pmtiles", {}, etag=r1["etag"]
+            )
+        assert not (obj.parent / "pub.pmtiles.tmp").exists()
+
     def test_entries_sorted_and_clustered(self, spark, pyramid, tmp_path):
         path = str(tmp_path / "c.pmtiles")
         write_pmtiles(pyramid, path)
