@@ -2293,8 +2293,14 @@ def _oracle_sql_round2() -> dict[str, str]:
                  '" lat="', CAST(key % 170 - 85 AS VARCHAR),
                  '" lon="', CAST(key % 360 - 180 AS VARCHAR), '">',
                  '<tag k="amenity" v="',
-                 {cats_sql}[CAST(key % 4 AS INTEGER) + 1], '"/>',
-                 '<tag k="name" v="', {vocab}, '"/>',
+                 replace(replace(replace(replace(
+                     {cats_sql}[CAST(key % 4 AS INTEGER) + 1],
+                     '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                     '"', '&quot;'), '"/>',
+                 '<tag k="name" v="',
+                 replace(replace(replace(replace({vocab},
+                     '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                     '"', '&quot;'), '"/>',
                  '</node></modify></osmChange>') AS xml
         FROM syn
     """

@@ -164,10 +164,18 @@ def cover_cells(x: Column, y: Column, res: int, radius_m: float) -> Column:
 # Slippy tile math (F24)
 # ---------------------------------------------------------------------------
 
-def tile_x(lon: Column, z: int) -> Column:
+def tile_fx(lon: Column, z: int) -> Column:
+    """Fractional slippy x (tile + intra-tile position) — the single
+    definition both tile_x and the raster pixel math derive from, so
+    raster pixels align bit-for-bit with vector tile assignment."""
     n = float(1 << z)
-    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), raw)).cast("int")
+    return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+
+
+def tile_x(lon: Column, z: int) -> Column:
+    n = 1 << z
+    raw = F.floor(tile_fx(lon, z)).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("int")
 
 
 def sql_tile_x(lon: str, z: int) -> str:
@@ -178,17 +186,23 @@ def sql_tile_x(lon: str, z: int) -> str:
     )
 
 
-def tile_y(lat: Column, z: int) -> Column:
+def tile_fy(lat: Column, z: int) -> Column:
+    """Fractional slippy y; see tile_fx."""
     n = float(1 << z)
     rad = lat * F.lit(math.pi) / F.lit(180.0)
     # asinh(tan(rad)) written as ln(tan + sec) so the DuckDB oracle
     # (no asinh) evaluates the identical expression.
-    raw = F.floor(
+    return (
         (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
         / F.lit(2.0)
         * F.lit(n)
-    ).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), raw)).cast("int")
+    )
+
+
+def tile_y(lat: Column, z: int) -> Column:
+    n = 1 << z
+    raw = F.floor(tile_fy(lat, z)).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("int")
 
 
 def sql_tile_y(lat: str, z: int) -> str:

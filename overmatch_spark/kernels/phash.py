@@ -65,8 +65,13 @@ def phash64(pixels: np.ndarray) -> int:
     gray = pixels.astype(np.float64).mean(axis=2)
     small = _resize_bilinear(gray, _N, _N)
     coefs = _T32 @ small @ _T32.T
-    low = coefs[:8, :8].reshape(64)
-    med = np.median(low[1:])  # exclude DC from the threshold
+    # pHash.org convention: the 8x8 block SKIPS the DC row/column —
+    # DC (mean brightness) dwarfs every AC term, so including it
+    # yields one constant bit (63 effective bits) and brightness
+    # sensitivity; the pure-AC block makes all 64 bits informative
+    # and global brightness shifts a no-op by construction
+    low = coefs[1:9, 1:9].reshape(64)
+    med = np.median(low)
     bits = low > med
     h = 0
     for bit in bits:

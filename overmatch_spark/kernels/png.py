@@ -28,31 +28,30 @@ def _chunk(typ: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode_gray(arr: np.ndarray) -> bytes:
-    """8-bit grayscale PNG, filter 0 rows, fixed zlib level 6 —
-    byte-deterministic for a given array."""
-    if arr.dtype != np.uint8 or arr.ndim != 2:
-        raise ValueError("expected a 2-D uint8 array")
-    h, w = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+def _png_encode(arr: np.ndarray, color_type: int) -> bytes:
+    """Shared writer (mirrors _png_decode): filter 0 rows, fixed zlib
+    level 6 — byte-deterministic for a given array."""
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
     idat = zlib.compress(raw, 6)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(
         b"IEND", b""
     )
+
+
+def png_encode_gray(arr: np.ndarray) -> bytes:
+    """8-bit grayscale PNG (color type 0)."""
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("expected a 2-D uint8 array")
+    return _png_encode(arr, color_type=0)
 
 
 def png_encode_rgb(arr: np.ndarray) -> bytes:
-    """8-bit truecolor (RGB) PNG, filter 0 rows, fixed zlib level 6."""
+    """8-bit truecolor (RGB) PNG (color type 2)."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected a (h, w, 3) uint8 array")
-    h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # truecolor
-    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
-    idat = zlib.compress(raw, 6)
-    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(
-        b"IEND", b""
-    )
+    return _png_encode(arr, color_type=2)
 
 
 def _png_decode(data: bytes, want_color: int) -> np.ndarray:

@@ -23,8 +23,6 @@ tiles above the density cap stop being renderable.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -59,31 +57,29 @@ def raster_tiles(
     """Point layer (lon, lat) -> one grayscale density PNG per
     occupied tile at each zoom.  Pixel value = min(count, clamp).
 
-    Distributed shape: ONE projection computes (z, x, y, px, py) per
-    point per zoom (pure Catalyst — floor math, no UDF), then one
-    hash exchange on the tile key feeds `applyInPandas`, where a
-    single `bincount` per tile builds the size^2 histogram and the
-    stdlib PNG encoder emits bytes.  Pixels never leave their tile's
-    partition; the driver sees nothing."""
+    Distributed shape: ONE scan computes an array of per-zoom
+    (z, x, y, pix) structs per point and explodes it (pure Catalyst —
+    floor math, no UDF; a union-per-zoom would re-scan the source
+    len(zooms) times), then one hash exchange on the tile key feeds
+    `applyInPandas`, where a single `bincount` per tile builds the
+    size^2 histogram and the stdlib PNG encoder emits bytes.  Pixels
+    never leave their tile's partition; the driver sees nothing.
+
+    Tile/pixel math derives from expressions.tile_x/tile_y/tile_fx/
+    tile_fy — the SAME definitions as the vector assignment, so
+    raster tiles align bit-for-bit with vector tiles by construction."""
+    if not 1 <= clamp <= 255:
+        raise ValueError(
+            f"clamp must be 1..255 for 8-bit gray PNG (got {clamp}); "
+            "values above 255 would wrap, not saturate"
+        )
+    from overmatch_spark.expressions import tile_fx, tile_fy, tile_x, tile_y
+
     per_zoom = []
     for z in zooms:
-        n = float(1 << z)
-        # EXACT same expression text as expressions.tile_x/tile_y so
-        # raster tiles align bit-for-bit with the vector assignment
-        fx = (F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
-        rad = F.col("lat") * F.lit(math.pi) / F.lit(180.0)
-        fy = (
-            (F.lit(1.0)
-             - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
-            / F.lit(2.0)
-            * F.lit(n)
-        )
-        x = F.least(F.lit((1 << z) - 1), F.greatest(F.lit(0), F.floor(fx))).cast(
-            "int"
-        )
-        y = F.least(F.lit((1 << z) - 1), F.greatest(F.lit(0), F.floor(fy))).cast(
-            "int"
-        )
+        lon, lat = F.col("lon"), F.col("lat")
+        fx, fy = tile_fx(lon, z), tile_fy(lat, z)
+        x, y = tile_x(lon, z), tile_y(lat, z)
         px = F.least(
             F.lit(size - 1),
             F.greatest(F.lit(0), F.floor((fx - x) * size)),
@@ -93,16 +89,16 @@ def raster_tiles(
             F.greatest(F.lit(0), F.floor((fy - y) * size)),
         ).cast("int")
         per_zoom.append(
-            points.select(
+            F.struct(
                 F.lit(z).alias("z"),
                 x.alias("x"),
                 y.alias("y"),
                 (px + py * size).alias("pix"),
             )
         )
-    pts = per_zoom[0]
-    for df in per_zoom[1:]:
-        pts = pts.unionByName(df)
+    pts = points.select(
+        F.explode(F.array(*per_zoom)).alias("t")
+    ).select("t.z", "t.x", "t.y", "t.pix")
 
     def rasterize(pdf):
         import numpy as np

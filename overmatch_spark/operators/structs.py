@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_WKT_RE = r"^POINT\s*\(\s*(-?[0-9.]+)\s+(-?[0-9.]+)\s*\)$"
+# one real numeric token (sign, decimal, exponent) — serializers
+# emit 1e-05 for near-zero coords; the old [-0-9.]+ silently
+# NULLed those (and accepted malformed 1.2.3)
+_WKT_RE = r"^POINT\s*\(\s*([-+]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][-+]?[0-9]+)?)\s+([-+]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][-+]?[0-9]+)?)\s*\)$"
 
 
 def null_rules(names: Column) -> Column:
@@ -52,17 +55,19 @@ def flatten_struct(df: DataFrame, col: str, prefix: str | None = None,
 
 
 def parse_wkt_point(wkt: Column):
-    """F13: 'POINT(x y)' -> (lon, lat) doubles."""
-    lon = F.regexp_extract(wkt, _WKT_RE, 1).cast("double")
-    lat = F.regexp_extract(wkt, _WKT_RE, 2).cast("double")
+    """F13: 'POINT(x y)' -> (lon, lat) doubles; malformed input is
+    NULL (try_cast — ANSI CAST would abort the job on the empty
+    string a non-matching regexp_extract returns)."""
+    lon = F.regexp_extract(wkt, _WKT_RE, 1).try_cast("double")
+    lat = F.regexp_extract(wkt, _WKT_RE, 2).try_cast("double")
     return lon, lat
 
 
 def sql_parse_wkt_point(wkt: str):
     pat = _WKT_RE
     return (
-        f"CAST(regexp_extract({wkt}, '{pat}', 1) AS DOUBLE)",
-        f"CAST(regexp_extract({wkt}, '{pat}', 2) AS DOUBLE)",
+        f"TRY_CAST(regexp_extract({wkt}, '{pat}', 1) AS DOUBLE)",
+        f"TRY_CAST(regexp_extract({wkt}, '{pat}', 2) AS DOUBLE)",
     )
 
 
@@ -113,6 +118,14 @@ def floats_to_decimal(
     (matching DuckDB's double->DECIMAL cast, used by the oracle twin).
     Round values to <= ``scale`` places first when byte-exact repr
     parity matters.
+
+    Map-key caveat: distinct double KEYS that round to the same
+    decimal at ``scale`` places collide after coercion and Spark
+    raises under the default ``spark.sql.mapKeyDedupPolicy=EXCEPTION``
+    (the reference's per-value ``Decimal(str(x))`` cannot collide).
+    Raise ``scale`` (e.g. 18) for float-keyed maps with near-equal
+    keys, or set the dedup policy to LAST_WIN if last-wins is
+    acceptable.
 
     ``cols`` limits the rewrite to the named top-level columns
     (default: all). Non-float leaves and the null-ness of nested
@@ -178,16 +191,28 @@ def deterministic_shuffle(df: DataFrame, seed: int, id_col: str) -> DataFrame:
     )
 
 
+def _xml_attr_escape(c: Column) -> Column:
+    """XML attribute escaping (&, <, >, \") — the reference gets this
+    for free from xmlbuilder2; without it a name like `Bob's "Bar" &
+    Grill` emits malformed osmChange. Ampersand first so entities are
+    not double-escaped."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    return F.replace(c, F.lit('"'), F.lit("&quot;"))
+
+
 def osm_change_xml(node_id: Column, version: Column, lat: Column,
                    lon: Column, tags: Column) -> Column:
     """K7: an osmChange <modify> block for a node
     (front_end/src/services/xml.ts:5-84). Tag map rendered in sorted
-    key order for determinism."""
+    key order for determinism; keys/values attribute-escaped."""
     tag_xml = F.array_join(
         F.transform(
             F.sort_array(F.map_entries(tags)),
             lambda e: F.concat(
-                F.lit('<tag k="'), e["key"], F.lit('" v="'), e["value"],
+                F.lit('<tag k="'), _xml_attr_escape(e["key"]),
+                F.lit('" v="'), _xml_attr_escape(e["value"]),
                 F.lit('"/>'),
             ),
         ),

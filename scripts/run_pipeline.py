@@ -3,7 +3,7 @@
 multi-executor cluster").
 
     spark-submit --py-files overmatch_spark.zip scripts/run_pipeline.py \
-        --images <parquet> --work-dir <dir> [--n-buckets 256] [--resume]
+        --images <parquet> --work-dir <dir> [--n-buckets 32] [--resume]
 
 In the sandbox (no cluster manager) the same script runs under
 local[*]; on a cluster only --master changes. The job is the
@@ -46,6 +46,19 @@ def main(argv=None):
     p.add_argument("--publish-root", default=None, metavar="DIR",
                    help="filesystem object-store root for --publish")
     args = p.parse_args(argv)
+
+    # fail argument combos NOW, not after a multi-hour pipeline run
+    if args.publish:
+        if not args.pmtiles:
+            p.error("--publish requires --pmtiles")
+        if not args.publish_root:
+            try:
+                import boto3  # noqa: F401
+            except ImportError:
+                p.error(
+                    "--publish needs boto3 (S3) or --publish-root "
+                    "(filesystem store)"
+                )
 
     from pyspark.sql import functions as F
 
@@ -117,8 +130,6 @@ def main(argv=None):
             publish_pmtiles,
         )
 
-        if not args.pmtiles:
-            raise SystemExit("--publish requires --pmtiles")
         bucket, _, key = args.publish.partition(":")
         store = (
             LocalObjectStore(args.publish_root) if args.publish_root else None

@@ -82,6 +82,69 @@ class TestStructs:
             "</node></modify></osmChange>"
         )
 
+    def test_osm_change_xml_escapes_attributes(self, spark):
+        """Quotes/ampersands/angle brackets are common in OSM names;
+        the reference escapes them via xmlbuilder2, so the engine must
+        emit well-formed attribute values too."""
+        import xml.etree.ElementTree as ET
+
+        from overmatch_spark.operators.structs import osm_change_xml
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": [7], "v": [1], "lat": ["1.0"], "lon": ["2.0"]}
+            )
+        ).withColumn(
+            "tags",
+            F.create_map(
+                F.lit("name"), F.lit('Bob\'s "Bar" & <Grill>'),
+                F.lit("k&k"), F.lit("a<b"),
+            ),
+        )
+        got = df.select(
+            osm_change_xml(
+                F.col("id"), F.col("v"), F.col("lat"), F.col("lon"), F.col("tags")
+            ).alias("x")
+        ).collect()[0]["x"]
+        assert 'v="Bob&#39;s &quot;Bar&quot; &amp; &lt;Grill&gt;"'.replace(
+            "&#39;", "'"
+        ) in got
+        assert '<tag k="k&amp;k" v="a&lt;b"/>' in got
+        # the proof: a standard XML parser accepts it and round-trips
+        # the original values
+        node = ET.fromstring(got).find("modify/node")
+        tags = {t.get("k"): t.get("v") for t in node.findall("tag")}
+        assert tags == {
+            "name": 'Bob\'s "Bar" & <Grill>',
+            "k&k": "a<b",
+        }
+
+    def test_parse_wkt_point_numeric_forms(self, spark):
+        """F13 handles the numeric forms real serializers emit —
+        scientific notation and signed/bare-decimal coords — and
+        rejects malformed tokens (NULL, not a bogus parse)."""
+        from overmatch_spark.operators.structs import parse_wkt_point
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "wkt": [
+                        "POINT(1e-05 47.6097)",
+                        "POINT(+1.5E+2 .5)",
+                        "POINT(-77.03 38.9)",
+                        "POINT(1.2.3 4)",
+                        "garbage",
+                    ]
+                }
+            )
+        )
+        lon, lat = parse_wkt_point(F.col("wkt"))
+        rows = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+        assert (rows[0]["lon"], rows[0]["lat"]) == (1e-05, 47.6097)
+        assert (rows[1]["lon"], rows[1]["lat"]) == (150.0, 0.5)
+        assert (rows[2]["lon"], rows[2]["lat"]) == (-77.03, 38.9)
+        assert rows[3]["lon"] is None and rows[4]["lon"] is None
+
     def test_deterministic_shuffle_stable(self, spark):
         from overmatch_spark.operators.structs import deterministic_shuffle
 
