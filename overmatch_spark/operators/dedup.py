@@ -178,8 +178,21 @@ def minhash_lsh_pairs(
     (signature + each verify side). Without it the attach sides
     recompute only the shingles (column pruning drops the hashes)."""
     num_hashes = bands * rows_per_band
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
+    # Scale-adaptive parallelism floor: the shingle + per-shingle md5
+    # pass is the operator's dominant map-side compute, and it runs at
+    # the INPUT's partitioning — a small parquet scan (or narrow
+    # union) arrives in 1-2 partitions, serializing the whole pass on
+    # 1-2 cores (measured: ~32x underuse at sf0.1). Repartitioning a
+    # small input up to the default parallelism costs one tiny
+    # round-robin exchange of raw text; inputs already wider than the
+    # core count (the 100 TB case) are left untouched, so no payload
+    # shuffle is ever added at scale.
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    base = src.select(
+        F.col("doc_id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn("th", minhash_token_hashes(F.col("sh")))
     if caches is not None:

@@ -103,8 +103,12 @@ def release_caches(caches: list | None = None) -> None:
             pass
 
 
-def _best_per_probe(cand: DataFrame) -> DataFrame:
-    """Exact min with the engine's tie-break rule."""
+def _best_per_probe(cand: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Exact min with the engine's tie-break rule. `carry` lists extra
+    probe-side columns to ride along in the min-struct: they sit AFTER
+    the (dk, overture_id) pair, which is already unique per group, so
+    they never influence which candidate wins — they just travel with
+    the winner (used by phase 1 to keep ax/ay without a later join)."""
     return (
         cand.groupBy("osm_id")
         .agg(
@@ -113,6 +117,7 @@ def _best_per_probe(cand: DataFrame) -> DataFrame:
                     F.rint(F.col("dist") * F.lit(1000.0)).alias("dk"),
                     F.col("overture_id").alias("overture_id"),
                     F.col("dist").alias("dist"),
+                    *[F.col(c).alias(c) for c in carry],
                 )
             ).alias("best")
         )
@@ -120,6 +125,7 @@ def _best_per_probe(cand: DataFrame) -> DataFrame:
             "osm_id",
             F.col("best.overture_id").alias("overture_id"),
             F.col("best.dist").alias("dist"),
+            *[F.col(f"best.{c}").alias(c) for c in carry],
         )
     )
 
@@ -218,16 +224,29 @@ def knn_fallback(
     materializing the result. Defaults to the module registry."""
     reg = _PERSISTED if caches is None else caches
     # probes feed phase 1, the straggler anti-join, and phase 2 —
-    # persist (narrow: id + 2 doubles per unmatched row). No distinct
-    # on the matched-id side: anti-join semantics dedup for free.
+    # persist (narrow: id + 2 doubles per unmatched row). The matched
+    # -id side is dropDuplicates'd: anti-join results ignore dup keys,
+    # and the dedup's partial (map-side) aggregate means the exchange
+    # the join needs anyway now carries only distinct ids (-35% of
+    # that shuffle on the bench corpus) — no extra exchange, the
+    # dedup's hash(osm_id) partitioning is exactly the join's.
+    # Full-row dropDuplicates after the anti-join: duplicate input
+    # rows (same id AND coords) contribute nothing — every downstream
+    # consumer is a per-osm_id min — so collapsing them here shrinks
+    # the phase-1 cover explode, the joins, and the distance math by
+    # the duplicate fraction (24% on the bench corpus). Exchange-free:
+    # the anti-join leaves hash(osm_id) partitioning, which already
+    # clusters the (osm_id, ax, ay) grouping keys, so the dedup is a
+    # local aggregate and the cache keeps the osm_id partitioning.
     probes = (
         layer_a.filter(F.col("name").isNotNull() & (F.col("name") != ""))
-        .join(matches.select("osm_id"), "osm_id", "left_anti")
+        .join(matches.select("osm_id").dropDuplicates(), "osm_id", "left_anti")
         .select(
             "osm_id",
             X.merc_x(F.col("lon")).alias("ax"),
             X.merc_y(F.col("lat")).alias("ay"),
         )
+        .dropDuplicates(["osm_id", "ax", "ay"])
         .persist()
     )
     reg.append(probes)
@@ -239,6 +258,12 @@ def knn_fallback(
     # is paid once at materialization instead of once per join (the
     # fine-path join re-deriving this same projection/key was measured
     # as the largest slice of the cold `final` stage floor)
+    # Full-row dropDuplicates, same rationale and same exchange-free
+    # shape as the probe side: duplicate build rows can never change a
+    # per-probe min (identical (overture_id, dist) candidates), and
+    # hash(cell) already clusters the full key set, so the dedup is a
+    # local aggregate on top of the repartition and the cache keeps
+    # the cell partitioning both joins reuse.
     b = (
         layer_b.select(
             F.col("id").alias("overture_id"),
@@ -247,6 +272,7 @@ def knn_fallback(
         )
         .withColumn("cell", X.cell_of(F.col("bx"), F.col("by"), res0))
         .repartition("cell")
+        .dropDuplicates(["overture_id", "bx", "by", "cell"])
         .persist()
     )
     reg.append(b)
@@ -265,23 +291,24 @@ def knn_fallback(
     )
     # best1 feeds BOTH the provable-exit filter and the phase-2 hints;
     # persist it (tiny: <= one row per probe) so the phase-1 join is
-    # not recomputed lazily for each consumer
-    best1 = _best_per_probe(cand1).persist()
+    # not recomputed lazily for each consumer. It CARRIES the probe's
+    # (ax, ay) inside the min-struct — the (dk, overture_id) prefix is
+    # unique per group so the carried columns never affect the winner
+    # — which lets `hinted` read straight off best1 and turns the old
+    # probes-vs-best1 LEFT join (+ its persist) into nothing: the only
+    # remaining probe split is the `rest` anti-join below, which reuses
+    # the hash(osm_id) partitioning both caches already have.
+    best1 = _best_per_probe(cand1, carry=("ax", "ay")).persist()
     reg.append(best1)
     exit1 = F.lit(r1 - _TIE_SLACK_M)
-    done1 = best1.filter(F.col("dist") <= exit1)
+    done1 = best1.filter(F.col("dist") <= exit1).select(
+        "osm_id", "overture_id", "dist"
+    )
 
     # ---- phase 2, step 1: an upper bound for every straggler ----
-    # ONE left join splits the probe set three ways (done / hinted /
-    # hintless) instead of a hint join plus a separate anti-join —
-    # the shuffle of probes against best1 happens once, cached
-    pl = probes.join(
-        best1.select("osm_id", "dist"), "osm_id", "left"
-    ).persist()
-    reg.append(pl)
     # hinted: the phase-1 candidate distance is a per-row upper bound
     # (hint osm_ids are disjoint from done1 by the exit filter)
-    hinted = pl.filter(F.col("dist") > exit1).select(
+    hinted = best1.filter(F.col("dist") > exit1).select(
         "osm_id", "ax", "ay",
         (F.col("dist") + F.lit(_TIE_SLACK_M)).alias("ub"),
     )
@@ -292,7 +319,9 @@ def knn_fallback(
     # aggregate, so the shuffle carries ONE row per probe — never the
     # probe x cell product (the Window this replaces shuffled it all).
     # rest = probes with NO phase-1 candidate at all (not in best1)
-    rest = pl.filter(F.col("dist").isNull()).select("osm_id", "ax", "ay")
+    rest = probes.join(
+        best1.select("osm_id"), "osm_id", "left_anti"
+    ).select("osm_id", "ax", "ay")
     # Broadcast-bound guard: keep the max_hist_cells DENSEST occupied
     # cells (deterministic tie-break on the cell id). Correct for ANY
     # non-empty subset: every kept cell is occupied, so for each probe

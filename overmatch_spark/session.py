@@ -29,6 +29,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when every build-side partition is small (guide §3.1): the
+        # engine's equi-joins (cell joins, id anti-joins, band
+        # self-joins) all have narrow build sides, and the bound is
+        # PER PARTITION — partition counts scale with the cluster, so
+        # the knob is scale-safe (a partition bigger than the bound
+        # simply stays sort-merge). Measured: removes both sorts from
+        # every hot join at sf0.1 with identical results.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "128m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config(
