@@ -21,8 +21,10 @@ nearest-neighbor fallback for them. Two-phase exact algorithm:
     cells of the max possible distance to the cell bbox, computed as
     a map-side partial aggregate (the shuffle carries ONE row per
     probe, never the probe x cell product).
-  With ub known, each straggler picks the finest level of a
-  RESOLUTION LADDER (res0, res0-2, ..., down to res0 % 2 — the
+  A hinted straggler's ub is provably <= ~2.13*edge(res0) (cover-bbox
+  far corner + slack), so its res0 cover is <= 6x6 and it joins the
+  fine path directly. Each HINTLESS straggler picks the finest level
+  of a RESOLUTION LADDER (res0, res0-2, ..., down to res0 % 2 — the
   enumerable floor _ladder_floor aligns the clamp to) satisfying
   ub <= 2*edge —
   so its dynamic cover is ALWAYS <= 6x6 cells regardless of how far
@@ -363,25 +365,35 @@ def knn_fallback(
     rest_ub = pc.groupBy("osm_id").agg(
         (F.min(maxdist) + F.lit(_TIE_SLACK_M)).alias("ub")
     )
-    # one narrow row per straggler; persisted because BOTH the ladder
-    # cover and the needed-level prune read it (without the cache the
-    # whole upper-bound pipeline, histogram included, would run twice)
+    # one narrow row per HINTLESS straggler; persisted because both
+    # the ladder cover and the needed-level prune read it (without the
+    # cache the whole upper-bound pipeline, histogram included, would
+    # run twice). Hinted stragglers are NOT in this table: their ub is
+    # provably <= sqrt(2)*1.5*edge + slack ≈ 2.13*edge (phase-1
+    # candidate in the far corner of the cover bbox), so their res0
+    # dynamic cover is <= floor(2*2.13)+2 = 6 cells per axis — the
+    # same 6x6 bound the ladder guarantees — and they go straight to
+    # the fine path below with no level computation. That keeps the
+    # ladder/histogram machinery on the hintless-only branch, which is
+    # EMPTY on any corpus dense enough that every probe sees a phase-1
+    # candidate (the common case), so the coarse join's inputs carry
+    # zero rows there instead of every hinted straggler.
     ubs = (
-        hinted.unionByName(rest.join(rest_ub, "osm_id"))
+        rest.join(rest_ub, "osm_id")
         .withColumn("lvl", _ladder_level(F.col("ub"), res0))
         .persist()
     )
     reg.append(ubs)
 
     # ---- phase 2, step 2: ladder equi-join at each probe's level ----
-    # FINE path (lvl == res0, the overwhelming majority): a hinted
-    # probe's ub can reach ~sqrt(2)*1.5*edge ≈ 2.12*edge, so hinted
-    # probes with ub in (2*edge, ~2.13*edge] take the COARSE path at
-    # res0-2 — rare but by design, not impossible. Either path is
+    # FINE path: every hinted straggler (6x6 cover bound proved above)
+    # plus hintless ones whose ladder level is res0. Either path is
     # exact at any level. The fine path covers explode at res0 and
     # join the SAME b-side projection/key as phase 1, so the build
     # side needs no extra enumeration and the exchange is reusable.
-    fine = ubs.filter(F.col("lvl") == F.lit(res0))
+    fine = hinted.unionByName(
+        ubs.filter(F.col("lvl") == F.lit(res0)).drop("lvl")
+    )
     cand_f = fine.select(
         "osm_id", "ax", "ay", "ub",
         F.explode(
