@@ -52,16 +52,26 @@ def main():
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k")
     ).repartition(2 * cpus)
-    a = demo.spark_layer_a(spark, sf_dir, None, "k", df=li)
-    b = demo.spark_layer_b(spark, sf_dir, None, "k", df=li)
+    a = demo.spark_layer_a(spark, sf_dir, None, "k", df=li).persist()
+    b = demo.spark_layer_b(spark, sf_dir, None, "k", df=li).persist()
+    a.count(), b.count()
+    # conflate's plan is captured BEFORE the match table is persisted
+    # (bench.py times conflate first, then caches it for the fan-out
+    # queries) — once persist() is marked, CacheManager would swap the
+    # equal subtree for the cache and hide the join plan
     m = conflate(a, b)
-
-    plans = {"conflate": m}
-    plans["grouped"] = m.groupBy("osm_id").agg(
+    plans = {}
+    plans["conflate"] = grab_plan(m)
+    # persisted + materialized like bench.py, so the downstream plans
+    # reference the cache (InMemoryRelation) exactly as the driver's
+    # timed runs do
+    mp = m.persist()
+    mp.count()
+    plans["grouped"] = mp.groupBy("osm_id").agg(
         F.count("*").alias("match_count"), F.min("distance_m").alias("min_dist")
     )
     plans["tiles"] = (
-        m.select(
+        mp.select(
             X.tile_x(F.col("lon"), 14).alias("tx"),
             X.tile_y(F.col("lat"), 14).alias("ty"),
         )
@@ -69,21 +79,22 @@ def main():
         .agg(F.count("*").alias("n"))
     )
     caches: list = []
-    plans["knn"] = knn_fallback(a, b, m, res0=15, caches=caches)
+    plans["knn"] = knn_fallback(a, b, mp, res0=15, caches=caches)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     docs_dup = docs.unionByName(
         docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
-    )
+    ).persist()
+    docs_dup.count()
     mh_caches: list = []
     plans["minhash_dedup"] = minhash_lsh_pairs(
         docs_dup, "text", "doc_id", caches=mh_caches
     )
 
     for name, df in plans.items():
-        p = grab_plan(df)
+        p = df if isinstance(df, str) else grab_plan(df)
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(p)
