@@ -11,9 +11,17 @@ Properties (tested):
   - re-encoding the same pixels (jpeg/qlossy/png/raw) moves the hash
     by only a few bits (low-frequency DCT terms are stable under
     quantization noise),
-  - global brightness shifts barely move it (only the DC term and
-    the median shift together),
+  - global brightness shifts are a no-op BY CONSTRUCTION (the DC
+    row/column is excluded from the 64-bit block, and a uniform
+    shift only moves the DC term),
   - unrelated images land ~32 bits apart (independent coin flips).
+
+Hash-version note (r5): the bit convention changed in round 5 — the
+DC row/column is now skipped and the median is taken over all 64 AC
+coefficients. phash_dct values persisted by earlier pipeline runs
+(checkpoints, stored dedup tables) are NOT comparable with newly
+computed hashes; recompute or version the column when mixing eras.
+No in-tree artifact stores the old hashes.
 
 Pairs with operators/multimodal.phash_near_dups (exact hamming <= k
 retrieval via pigeonhole blocking): compute the hash scan-side with

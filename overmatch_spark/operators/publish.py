@@ -104,7 +104,17 @@ class LocalObjectStore:
         with open(p + ".headers.json.tmp", "w") as f:
             json.dump({**headers, "ETag": got}, f, sort_keys=True)
         # Bytes first, sidecar second: a crash in between reads as
-        # "absent" via head() and is re-put on the next run.
+        # "absent" via head() and is re-put on the next run. On an
+        # OVERWRITE the old sidecar must be removed BEFORE the bytes
+        # swap — otherwise a crash in the window between the two
+        # replaces leaves NEW bytes paired with the OLD sidecar, and
+        # head() would serve the stale ETag forever (a later publish
+        # of content matching that stale ETag would be skipped and
+        # never repair the pair).
+        try:
+            os.remove(p + ".headers.json")
+        except FileNotFoundError:
+            pass
         os.replace(p + ".tmp", p)
         os.replace(p + ".headers.json.tmp", p + ".headers.json")
         return got
@@ -143,12 +153,21 @@ class S3ObjectStore:
         return {"ETag": meta.get("md5") or h["ETag"].strip('"')}
 
     def put_file(self, path, bucket, key, headers, etag=None):  # pragma: no cover
-        if etag is None:
-            etag = _md5_file(path)
+        # Hash the file ourselves even when the caller supplied an
+        # etag: returning the caller's value verbatim would make the
+        # publisher's post-put cross-check a tautology, and a file
+        # mutated between the caller's hash and this upload would go
+        # undetected. The re-hash is what gets stored and returned.
+        got = _md5_file(path)
+        if etag is not None and got != etag:
+            raise IOError(
+                f"source changed before upload: md5 {got} != "
+                f"expected {etag}"
+            )
         extra = dict(headers)
-        extra["Metadata"] = {**extra.get("Metadata", {}), "md5": etag}
+        extra["Metadata"] = {**extra.get("Metadata", {}), "md5": got}
         self._s3.upload_file(path, bucket, key, ExtraArgs=extra)
-        return etag
+        return got
 
 
 def publish_pmtiles(
