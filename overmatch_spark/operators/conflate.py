@@ -282,7 +282,16 @@ def attach_payload(matches: DataFrame, payload: DataFrame, key: str,
     """Re-attach wide/heavy columns (image bytes, full tag structs) by
     id AFTER the shuffle-heavy join — the single most important
     physical decision at 10^12-image scale (SURVEY.md §4.2): payload
-    bytes never enter a shuffle on the match path."""
+    bytes never enter a shuffle on the match path.
+
+    At rest-scale, pass a BUCKETED payload side: store it with
+    ``io.write_bucketed(payload, table, payload_key, n, path)`` and
+    read it back with ``io.read_bucketed`` — the join then reads the
+    bucketed scan with NO Exchange above it, so only the narrow match
+    side shuffles and the payload bytes never cross the network even
+    on the re-attach (plan-checked in scripts/audit_plans.py: one
+    exchange total, match side only). A plain (unbucketed) payload
+    DataFrame still works; it just pays a payload-side shuffle."""
     return matches.join(
         payload, matches[key] == payload[payload_key], "left"
     ).drop(payload_key)

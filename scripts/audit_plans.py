@@ -159,6 +159,35 @@ def main():
     )
     sections.append(("Raster tile pyramid (density PNGs)", raster_plan, None))
 
+    # 10. bucketed payload re-attach (VERDICT r5 #2): when the payload
+    # table lives bucketed on its id (io.write_bucketed), the
+    # attach_payload join must read the bucketed scan with NO Exchange
+    # above it — only the (narrow) match side shuffles, so payload
+    # bytes never cross the network on the re-attach. The match side
+    # here is a bare projection so the plan's single Exchange is
+    # attributable to it alone.
+    import shutil
+    import tempfile
+
+    from overmatch_spark.operators import io as io_mod
+    from overmatch_spark.operators.conflate import attach_payload
+
+    payload = b.select(
+        F.col("id"), F.sha2(F.col("name"), 256).alias("blob")
+    )
+    bdir = tempfile.mkdtemp(prefix="audit_bucketed_payload_")
+    spark.sql("DROP TABLE IF EXISTS audit_payload_bucketed")
+    io_mod.write_bucketed(
+        payload, "audit_payload_bucketed", "id", 8, bdir + "/payload"
+    )
+    pb = io_mod.read_bucketed(spark, "audit_payload_bucketed")
+    ms = b.select(F.col("id").alias("overture_id"))
+    ap_plan = grab_plan(attach_payload(ms, pb, "overture_id", "id"))
+    sections.append(
+        ("Bucketed payload re-attach (attach_payload over "
+         "write_bucketed)", ap_plan, None)
+    )
+
     checks = []
 
     def check(name, cond):
@@ -255,6 +284,20 @@ def main():
         and len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", raster_plan)) == 1
         and "CartesianProduct" not in raster_plan,
     )
+
+    ap_exchanges = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]+)\]", ap_plan
+    )
+    check(
+        "bucketed payload re-attach: ONE exchange (match side only), "
+        "bucketed scan used, payload bytes never shuffle",
+        len(ap_exchanges) == 1
+        and "blob#" not in ap_exchanges[0]
+        and ("Bucketed: true" in ap_plan
+             or "SelectedBucketsCount" in ap_plan),
+    )
+    spark.sql("DROP TABLE IF EXISTS audit_payload_bucketed")
+    shutil.rmtree(bdir, ignore_errors=True)
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit\n\n")
