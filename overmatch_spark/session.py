@@ -41,6 +41,17 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "128m",
         )
+        # Generated-class cache sized to the engine's plan inventory:
+        # the default 100-entry cache evicts earlier queries' codegen
+        # units as each new operator compiles, so a session running
+        # several large plans (conflate -> aggregations -> the ~20-
+        # stage knn DAG) RE-compiles evicted units on every repeat
+        # execution. Measured: knn's steady repeat dropped 7.5 -> 5.5 s
+        # once its units survive between runs. Workload-shaped, not
+        # host-shaped: any long-lived app with many distinct query
+        # shapes benefits identically; cost is retained generated
+        # classes (KBs each).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config(
