@@ -67,6 +67,53 @@ class TestKnn:
                 check_exact=True,
             )
 
+    def test_r6_cache_internals(self, spark, layers, golden):
+        """r6 optimization invariants on the persisted intermediates:
+        (a) duplicate input rows are collapsed in BOTH caches (full-row
+        dedup rides the existing exchanges — a per-osm_id min can never
+        see them), output unchanged vs the spec; (b) the ubs cache
+        holds ONLY hintless stragglers (hinted ones go straight to the
+        fine path), i.e. every ubs osm_id is absent from best1."""
+        from pyspark.sql import functions as F
+
+        from overmatch_spark.operators.conflate import conflate
+        from overmatch_spark.operators.knn import knn_fallback, release_caches
+
+        sa, sb = _spark_layers(spark, layers)
+        # duplicate every input row — outputs must be identical to the
+        # spec over the un-duplicated layers
+        sa2 = sa.unionByName(sa)
+        sb2 = sb.unionByName(sb)
+        m = conflate(sa, sb)
+        exp = knn_spec(*layers, golden)
+        caches: list = []
+        try:
+            got = (
+                knn_fallback(sa2, sb2, m, caches=caches)
+                .toPandas()
+                .sort_values("osm_id")
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(exp) > 0
+            pd.testing.assert_frame_equal(
+                got[["osm_id", "overture_id", "distance_m"]],
+                exp[["osm_id", "overture_id", "distance_m"]],
+                check_exact=True,
+            )
+            probes, b0, best1 = caches[0], caches[1], caches[2]
+            assert probes.count() == probes.distinct().count()
+            assert b0.count() == b0.distinct().count()
+            if len(caches) > 3:
+                ubs = caches[3]
+                assert (
+                    ubs.join(
+                        best1.select("osm_id"), "osm_id", "left_semi"
+                    ).count()
+                    == 0
+                )
+        finally:
+            release_caches(caches)
+
     def test_ladder_level_never_below_enumerable_floor(self, spark):
         """For ODD res0 the build ladder's coarsest level is 1, not 0;
         a worst-case ub must clamp to that enumerable floor or the
